@@ -1,0 +1,99 @@
+"""CLI entrypoint: the spark-submit surface of the pipeline.
+
+Usage (local or via spark-submit --py-files hetman_spark.zip):
+
+  python -m hetman_spark generate --out /tmp/webtext --rows 60000
+  python -m hetman_spark run --input /tmp/webtext --out /tmp/out
+  python -m hetman_spark status --out /tmp/out
+
+Plays cmd/hetman/main.go + cmd/root.go (cobra CLI, --mode=agent) of
+the reference; `run` is the agent loop, `status` reads the manifest
+the way `hetman` reads its registry on boot.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="hetman_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate", help="write the synthetic webtext table")
+    g.add_argument("--out", required=True)
+    g.add_argument("--rows", type=int, default=60000)
+    g.add_argument("--splits", type=int, default=16)
+    g.add_argument("--master", default=None)
+
+    r = sub.add_parser("run", help="run the parse->enrich->route pipeline (resumable)")
+    r.add_argument("--input", required=True)
+    r.add_argument("--out", required=True)
+    r.add_argument("--master", default=None)
+    r.add_argument("--salt-buckets", type=int, default=8)
+    r.add_argument("--splits-per-commit", type=int, default=64)
+    r.add_argument("--max-splits", type=int, default=None)
+    r.add_argument("--jvm-parse", action="store_true",
+                   help="use pure-JVM regex extraction instead of the pandas UDF")
+
+    s = sub.add_parser("status", help="print the checkpoint manifest")
+    s.add_argument("--out", required=True)
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "status":
+        from hetman_spark.plans.checkpoint import read_manifest
+
+        entries = read_manifest(f"{args.out}/_manifest")
+        print(json.dumps({"committed_splits": len(entries), "entries": entries}, indent=2))
+        return 0
+
+    from hetman_spark.session import get_spark
+
+    spark = get_spark(master=args.master)
+    t0 = time.time()
+
+    if args.cmd == "generate":
+        from hetman_spark.sources.webtext import write_webtext
+
+        write_webtext(spark, args.out, args.rows, n_splits=args.splits)
+        print(json.dumps({"cmd": "generate", "rows": args.rows, "out": args.out,
+                          "sec": round(time.time() - t0, 2)}))
+        return 0
+
+    if args.cmd == "run":
+        from hetman_spark.plans.pipeline import run_pipeline
+
+        res = run_pipeline(
+            spark,
+            args.input,
+            args.out,
+            salt_buckets=args.salt_buckets,
+            splits_per_commit=args.splits_per_commit,
+            max_splits=args.max_splits,
+            use_pandas_udf=not args.jvm_parse,
+        )
+        sec = time.time() - t0
+        print(
+            json.dumps(
+                {
+                    "cmd": "run",
+                    "splits_processed": len(res.splits_processed),
+                    "rows_in": res.rows_in,
+                    "rows_parsed": res.rows_parsed,
+                    "sink_counts": res.sink_counts,
+                    "sec": round(sec, 2),
+                    "pages_per_sec": round(res.rows_in / sec, 1) if sec > 0 else None,
+                }
+            )
+        )
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

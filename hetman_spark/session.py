@@ -1,0 +1,56 @@
+"""SparkSession factory with scale-aware defaults.
+
+The reference tunes fixed constants (batch 20, channel cap 1024,
+1 s flush — /root/reference/internal/buffer/buffer.go:64,94,107).  The
+Spark analogs are session configs; set once here so tests, bench and
+spark-submit entrypoints agree.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "hetman_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    Defaults chosen for the webtext workload:
+    - AQE on (+ skew join): runtime re-plan is the backstop for
+      hot-domain/lang skew the north_rule calls out.
+    - Arrow enabled and batch size capped at 2048: html is a binary
+      column of KB–MB per row; huge Arrow batches would blow executor
+      memory (SURVEY.md §7 "big binary rows vs Arrow batches").
+    - UTC session TZ so DuckDB-oracle comparisons are stable.
+    - shuffle partitions ~ cores for local mode; a real cluster run
+      overrides via spark-submit --conf.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else "32"
+        shuffle_partitions = 32 if n == "*" else max(8, int(n))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,114 @@
+"""End-to-end pipeline tests (SURVEY.md §5 rebuild strategy):
+(a) byte-identical extracted text per url,
+(b) per-sink counts,
+(c) routed-row equality across parallelism,
+(d) kill/resume idempotence (partial run + rerun == single full run).
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hetman_spark.plans.checkpoint import committed_splits
+from hetman_spark.plans.pipeline import run_pipeline
+from hetman_spark.sources.webtext import generate_webtext, write_webtext
+
+N_ROWS = 3000
+N_SPLITS = 8
+
+
+@pytest.fixture(scope="module")
+def webtext_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("wt") / "webtext")
+    write_webtext(spark, p, N_ROWS, n_splits=N_SPLITS)
+    return p
+
+
+def test_generator_deterministic(spark):
+    a = generate_webtext(spark, 500, partitions=2).orderBy("url").collect()
+    b = generate_webtext(spark, 500, partitions=16).orderBy("url").collect()
+    assert a == b
+    # html embeds text between <p>..</p>
+    row = a[0]
+    assert f"<p>{row['text']}</p>".encode() in row["html"]
+    assert len({r["url"] for r in a}) == 500
+
+
+def test_generator_skew(spark):
+    df = generate_webtext(spark, 5000)
+    langs = {r["lang"]: r["n"] for r in df.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert langs["en"] > langs["other"] * 3  # Zipf-ish: hot head
+    assert len(langs) == 9  # every lang reachable
+
+
+def test_pipeline_end_to_end(spark, webtext_path, tmp_path):
+    out = str(tmp_path / "out")
+    res = run_pipeline(spark, webtext_path, out, splits_per_commit=N_SPLITS)
+    assert sorted(res.splits_processed) == list(range(N_SPLITS))
+    assert res.rows_in == N_ROWS
+    assert res.rows_parsed == N_ROWS  # generator emits well-formed lines
+
+    data = spark.read.parquet(os.path.join(out, "data"))
+    # (a) byte-identical text per url vs the golden column
+    src = spark.read.parquet(webtext_path).select("url", F.col("text").alias("golden"))
+    mism = (
+        data.select("url", "text").distinct().join(src, "url")
+        .filter(F.col("text") != F.col("golden")).count()
+    )
+    assert mism == 0
+
+    # (b) per-sink counts: written rows match the driver-side lineage
+    written = {r["sink_id"]: r["n"] for r in data.groupBy("sink_id").agg(F.count("*").alias("n")).collect()}
+    assert written == res.sink_counts
+    # match-all sink got every record
+    assert max(written.values()) == N_ROWS
+
+    # tags carry source + sink add_tags + parsed fields
+    row = data.limit(1).collect()[0]
+    assert row["tags"]["source"] == row["url"]
+    assert "status" in row["tags"]
+
+    # lineage adds up
+    lineage = spark.read.parquet(os.path.join(out, "lineage"))
+    assert lineage.agg(F.sum("rows_in")).collect()[0][0] == N_ROWS
+
+
+def test_resume_idempotent(spark, webtext_path, tmp_path):
+    # (d) "kill" after 3 splits -> resume -> identical outputs, no dupes
+    out_partial = str(tmp_path / "partial")
+    res1 = run_pipeline(spark, webtext_path, out_partial, splits_per_commit=2, max_splits=3)
+    assert len(res1.splits_processed) == 3
+    assert committed_splits(os.path.join(out_partial, "_manifest")) == set(res1.splits_processed)
+
+    res2 = run_pipeline(spark, webtext_path, out_partial, splits_per_commit=8)
+    assert set(res2.splits_processed).isdisjoint(res1.splits_processed)
+    assert len(res1.splits_processed) + len(res2.splits_processed) == N_SPLITS
+
+    out_full = str(tmp_path / "full")
+    res_full = run_pipeline(spark, webtext_path, out_full, splits_per_commit=8)
+
+    a = spark.read.parquet(os.path.join(out_partial, "data"))
+    b = spark.read.parquet(os.path.join(out_full, "data"))
+    assert a.count() == b.count()
+    # order-insensitive routed-row equality (c)
+    key = ["sink_id", "url"]
+    assert a.select(*key).exceptAll(b.select(*key)).count() == 0
+    assert b.select(*key).exceptAll(a.select(*key)).count() == 0
+
+    # rerunning a fully-committed pipeline does nothing
+    res3 = run_pipeline(spark, webtext_path, out_partial)
+    assert res3.splits_processed == []
+
+
+def test_counts_identical_across_parallelism(spark, webtext_path, tmp_path):
+    # north_rule: identical per-sink counts at N and 4N parallelism.
+    # Same session, different shuffle widths emulate the two sizes.
+    outs = {}
+    for tag, parts in (("n", 2), ("4n", 8)):
+        out = str(tmp_path / tag)
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        res = run_pipeline(spark, webtext_path, out, splits_per_commit=8, salt_buckets=parts)
+        outs[tag] = res.sink_counts
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    assert outs["n"] == outs["4n"]
