@@ -1,0 +1,411 @@
+"""Driver-contract queries: each SURVEY.md §2 operator exercised on the
+driver testdata tables, with a DuckDB-oracle SQL twin.
+
+Conventions for oracle parity (driver compares row-count + schema +
+order-insensitive value-hash at sf0.01):
+- every computed column aliased identically on both sides;
+- integer arithmetic or strings wherever possible (no float sums —
+  parallel float addition is non-associative);
+- counts/sizes cast to BIGINT on both sides;
+- timestamps rendered as strings.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hetman_spark.operators.multiline import stitch_multiline
+from hetman_spark.operators.parse import parse_grok
+from hetman_spark.operators.route import route_explode
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# P1: grok parse — construct an access-log line from orders, parse it back
+# ---------------------------------------------------------------------------
+
+GROK_PATTERN = '$remote_addr - $remote_user [$time_local] "$request" $status $bytes_sent'
+
+
+def q_grok_parse_nginx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    line = F.concat(
+        F.lit("10.0.0."), (F.col("o_orderkey") % 255).cast("string"),
+        F.lit(" - u"), F.col("o_custkey").cast("string"),
+        F.lit(" [2024-01-01] \"GET /orders/"), F.col("o_orderkey").cast("string"),
+        F.lit(" HTTP/1.1\" "),
+        F.substring(F.col("o_orderpriority"), 1, 1),
+        F.lit("00 "),
+        (F.col("o_orderkey") % 10000).cast("string"),
+    )
+    parsed = parse_grok(line, GROK_PATTERN)
+    return (
+        o.withColumn("p", parsed)
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("p.remote_addr").alias("remote_addr"),
+            F.col("p.remote_user").alias("remote_user"),
+            F.col("p.request").alias("request"),
+            F.col("p.status").alias("status"),
+            F.col("p.bytes_sent").alias("bytes_sent"),
+        )
+    )
+
+
+SQL_GROK_PARSE = """
+SELECT o_orderkey AS orderkey,
+       '10.0.0.' || CAST(o_orderkey % 255 AS VARCHAR)      AS remote_addr,
+       'u' || CAST(o_custkey AS VARCHAR)                    AS remote_user,
+       'GET /orders/' || CAST(o_orderkey AS VARCHAR) || ' HTTP/1.1' AS request,
+       substr(o_orderpriority, 1, 1) || '00'                AS status,
+       CAST(o_orderkey % 10000 AS VARCHAR)                  AS bytes_sent
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# P2: JSON field extraction over events.props
+# ---------------------------------------------------------------------------
+
+
+def q_json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        F.col("event_id"),
+        F.get_json_object(F.col("props"), "$.k").alias("k_val"),
+    )
+
+
+SQL_JSON_EXTRACT = """
+SELECT event_id, CAST(json_extract(props, '$.k') AS VARCHAR) AS k_val
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# P5: multiline stitch over the events stream (anchor = non view/click)
+# ---------------------------------------------------------------------------
+
+MULTILINE_PATTERN = "^(view|click)"
+
+
+def q_multiline_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("file_id"),
+        F.col("event_id").alias("line_no"),
+        F.col("event_type").alias("line"),
+    )
+    return stitch_multiline(e, MULTILINE_PATTERN)
+
+
+SQL_MULTILINE = """
+WITH flagged AS (
+  SELECT user_id, event_id, event_type,
+         CASE WHEN regexp_matches(event_type, '^(view|click)') THEN 0 ELSE 1 END AS is_anchor
+  FROM events
+), anchored AS (
+  SELECT user_id, event_id, event_type,
+         sum(is_anchor) OVER (PARTITION BY user_id ORDER BY event_id
+                              ROWS UNBOUNDED PRECEDING) AS anchor_id
+  FROM flagged
+)
+SELECT user_id AS file_id,
+       CAST(anchor_id AS BIGINT) AS anchor_id,
+       min(event_id) AS line_no,
+       string_agg(event_type, ' ' ORDER BY event_id) AS line
+FROM anchored
+GROUP BY user_id, anchor_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# M1 enrich: broadcast dimension join chain (customer -> nation -> region)
+# ---------------------------------------------------------------------------
+
+
+def q_enrich_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).alias("acctbal_cents"),
+        )
+    )
+
+
+SQL_ENRICH = """
+SELECT r_name AS region,
+       count(*) AS n_customers,
+       sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS acctbal_cents
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# M4/A2: tag-driven router fan-out + per-sink aggregate counts (headline)
+# ---------------------------------------------------------------------------
+
+
+def q_route_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    routes = spark.createDataFrame(
+        [
+            ("sink_all", "*", "*"),
+            ("sink_urgent", "o_orderpriority", "1-URGENT"),
+            ("sink_high", "o_orderpriority", "2-HIGH"),
+            ("sink_finished", "o_orderstatus", "F"),
+        ],
+        "sink_id string, predicate_col string, predicate_val string",
+    )
+    routed = route_explode(o, routes, predicate_cols=["o_orderpriority", "o_orderstatus"])
+    return routed.groupBy("sink_id").agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_ROUTE_FANOUT = """
+SELECT sink_id, count(*) AS n FROM (
+  SELECT 'sink_all' AS sink_id FROM orders
+  UNION ALL SELECT 'sink_urgent' FROM orders WHERE o_orderpriority = '1-URGENT'
+  UNION ALL SELECT 'sink_high' FROM orders WHERE o_orderpriority = '2-HIGH'
+  UNION ALL SELECT 'sink_finished' FROM orders WHERE o_orderstatus = 'F'
+) GROUP BY sink_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# M3: regex redaction over documents
+# ---------------------------------------------------------------------------
+
+
+def q_modifier_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), r"\bthe\b", "***").alias("redacted"),
+    )
+
+
+SQL_REDACT = r"""
+SELECT doc_id, regexp_replace(text, '\bthe\b', '***', 'g') AS redacted
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# A2-analog: skewed-key aggregation (the salted groupBy path)
+# ---------------------------------------------------------------------------
+
+
+def q_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+SQL_LANG_COUNTS = """
+SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+FROM documents GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup: exact (hash-groupBy)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(F.md5(F.col("text")).alias("text_hash")).agg(
+        F.min("doc_id").alias("keeper_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup: MinHash signatures (md5-based so both engines agree bit-for-bit)
+# ---------------------------------------------------------------------------
+
+_MINHASH_SALTS = ["s0", "s1", "s2", "s3"]
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+    aggs = [
+        F.min(F.md5(F.concat(F.col("w"), F.lit(s)))).alias(f"mh_{s}")
+        for s in _MINHASH_SALTS
+    ]
+    return words.groupBy("doc_id").agg(*aggs)
+
+
+SQL_MINHASH = """
+SELECT doc_id,
+       min(md5(w || 's0')) AS mh_s0,
+       min(md5(w || 's1')) AS mh_s1,
+       min(md5(w || 's2')) AS mh_s2,
+       min(md5(w || 's3')) AS mh_s3
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: token counts + integer-arithmetic quality signals
+# ---------------------------------------------------------------------------
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " ")).cast("long")
+    n_chars = F.length("text").cast("long")
+    the_count = (
+        (F.length("text") - F.length(F.regexp_replace(F.col("text"), r"\bthe\b", "")))
+        / F.lit(3)
+    ).cast("long")
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars_m"),
+        F.floor(n_chars * 100 / n_tokens).cast("long").alias("avg_token_len_x100"),
+        the_count.alias("the_count"),
+        F.when(the_count > 0, F.lit("en")).otherwise(F.lit("other")).alias("lang_guess"),
+    )
+
+
+SQL_TEXT_STATS = r"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_m,
+       CAST(floor(length(text) * 100 / len(string_split(text, ' '))) AS BIGINT) AS avg_token_len_x100,
+       CAST((length(text) - length(regexp_replace(text, '\bthe\b', '', 'g'))) / 3 AS BIGINT) AS the_count,
+       CASE WHEN (length(text) - length(regexp_replace(text, '\bthe\b', '', 'g'))) / 3 > 0
+            THEN 'en' ELSE 'other' END AS lang_guess
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity: brute-force cosine top-k (ANN baseline)
+# ---------------------------------------------------------------------------
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    min_id = e.agg(F.min("vec_id")).collect()[0][0]
+    q = e.filter(F.col("vec_id") == min_id).select(
+        F.col("embedding").cast("array<double>").alias("qe")
+    )
+    cand = e.filter(F.col("vec_id") != min_id).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ce")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("ce"), F.col("qe"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))  # noqa: E731
+    sim = dot / (norm(F.col("ce")) * norm(F.col("qe")))
+    ranked = (
+        cand.crossJoin(F.broadcast(q))
+        .select(F.col("vec_id").alias("neighbor_id"), sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+        .limit(10)
+    )
+    return ranked.select("neighbor_id")
+
+
+SQL_ANN_TOPK = """
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+  WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+)
+SELECT e.vec_id AS neighbor_id
+FROM embeddings e, q
+WHERE e.vec_id != (SELECT min(vec_id) FROM embeddings)
+ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) DESC, e.vec_id
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Windowed event aggregation (streaming analog, batch form)
+# ---------------------------------------------------------------------------
+
+
+def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+    )
+
+
+SQL_EVENTS_WINDOWED = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+       event_type,
+       count(*) AS n,
+       sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "grok_parse_nginx": q_grok_parse_nginx,
+    "json_extract_events": q_json_extract_events,
+    "multiline_stitch": q_multiline_stitch,
+    "enrich_broadcast": q_enrich_broadcast,
+    "route_fanout_counts": q_route_fanout,
+    "modifier_redact": q_modifier_redact,
+    "lang_counts": q_lang_counts,
+    "dedup_exact": q_dedup_exact,
+    "minhash_signatures": q_minhash_signatures,
+    "text_stats": q_text_stats,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "events_windowed": q_events_windowed,
+}
+
+ORACLES: dict[str, str] = {
+    "grok_parse_nginx": SQL_GROK_PARSE,
+    "json_extract_events": SQL_JSON_EXTRACT,
+    "multiline_stitch": SQL_MULTILINE,
+    "enrich_broadcast": SQL_ENRICH,
+    "route_fanout_counts": SQL_ROUTE_FANOUT,
+    "modifier_redact": SQL_REDACT,
+    "lang_counts": SQL_LANG_COUNTS,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "minhash_signatures": SQL_MINHASH,
+    "text_stats": SQL_TEXT_STATS,
+    "ann_cosine_topk": SQL_ANN_TOPK,
+    "events_windowed": SQL_EVENTS_WINDOWED,
+}
