@@ -1,0 +1,216 @@
+"""Deduplication operators for web-scale corpora.
+
+Five tiers, all expressed as DataFrame plans that survive 100 TB:
+
+- exact_dedup: hash-groupBy on a content hash (one shuffle of
+  (hash, id) pairs only — never shuffles the text).
+- minhash_lsh: shingle -> K minhashes -> B bands -> band-bucket join.
+  Candidate pairs come from equal band signatures (a self-join on the
+  tiny (band, bucket) key), so the cross product never materializes.
+- simhash: 64-bit similarity hash via per-token hash bit-voting;
+  near-dups = identical simhash or Hamming-adjacent buckets.
+- ngram_jaccard: exact Jaccard over word n-grams for candidate pairs
+  (the verification stage after LSH).
+- embedding_neardup: cosine >= threshold over an embedding column,
+  LSH-bucketed by random hyperplane signs.
+
+Hashes are xxhash64/md5 (Spark built-ins, deterministic across runs
+and cluster sizes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical texts: (text_hash, keeper_id, n_copies,
+    member_ids).  Only (hash, id) pairs shuffle."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.sort_array(F.collect_list(id_col)).alias("member_ids"),
+        )
+    )
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingle array (distinct), JVM-side: split -> sliding
+    windows via transform over an index sequence."""
+    words = F.split(F.lower(text), r"\s+")
+    k = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        )
+    )
+
+
+def minhash_signature(text: Column, num_hashes: int = 16, shingle_n: int = 3) -> Column:
+    """Array of `num_hashes` min-hashes over the shingle set.  Each
+    hash family member = xxhash64(shingle, seed_i); the signature is
+    array_min per member — pure expressions, one pass."""
+    sh = shingles(text, shingle_n)
+
+    def member(i: int):
+        # closure factory — a 2-param transform lambda would be
+        # (element, index), silently making every member identical
+        return F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
+
+    return F.array(*[member(i) for i in range(num_hashes)])
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH.
+
+    rows -> signature -> explode into `bands` (band_id, band_hash)
+    keys -> self-join on the band key.  The shuffle carries only
+    (band_hash, id); texts never move.  Pairs are deduped (a<b) and
+    distinct across bands.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), num_hashes, shingle_n)
+    banded = df.select(F.col(id_col).alias("id"), sig.alias("sig")).select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at(F.col("sig"), b * rows_per_band + r + 1).cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(right, ["band", "bucket"])
+        .where(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  shingle_n: int = 3) -> DataFrame:
+    """Exact Jaccard for candidate pairs (verification after LSH):
+    joins each side's shingle set and computes |∩|/|∪| JVM-side."""
+    sh = docs.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+    out = (
+        df_pairs.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return out.select(
+        "id_a", "id_b",
+        (inter / F.greatest(union, F.lit(1))).alias("jaccard"),
+    )
+
+
+def simhash(text: Column, shingle_n: int = 2) -> Column:
+    """64-bit SimHash: per-shingle xxhash64, each of the 64 bits votes
+    +1/-1; the sign vector is the hash.  Expressed as 64 aggregate
+    sums over the shingle array (JVM lambda, no shuffle)."""
+    sh = shingles(text, shingle_n)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+
+    def vote(bit: int):
+        # closure factory: pyspark higher-order lambdas must be
+        # exactly (acc, x) — a default-arg third param breaks arity
+        def merge(acc, h):
+            return acc + F.when(
+                F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1))
+
+        return F.aggregate(hashes, F.lit(0).cast("long"), merge)
+
+    bit_cols = []
+    for bit in range(64):
+        votes = vote(bit)
+        bit_cols.append(F.when(votes > 0, F.lit(1).cast("long")).otherwise(F.lit(0)).alias(f"b{bit}"))
+    # fold bits into one BIGINT
+    out = F.lit(0).cast("long")
+    for bit, c in enumerate(bit_cols):
+        out = out.bitwiseOR(F.shiftleft(c, bit))
+    return out
+
+
+def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact-simhash duplicate groups (Hamming distance 0).  For
+    distance <= k, band the 64 bits into k+1 chunks and bucket-join
+    (same pattern as minhash_lsh_candidates)."""
+    return (
+        df.select(F.col(id_col), simhash(F.col(text_col)).alias("simhash"))
+        .groupBy("simhash")
+        .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def embedding_neardup_candidates(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    planes: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate candidates over an embedding column via
+    random-hyperplane LSH: sign pattern of `planes` fixed pseudo-random
+    hyperplanes forms the bucket; same bucket => candidate pair.
+
+    Hyperplane components are derived from xxhash64(seed, plane, dim) —
+    deterministic, no driver-side randomness, identical on any cluster.
+    """
+    dim_idx = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
+
+    def plane_sign(p: int) -> Column:
+        comps = F.transform(
+            dim_idx,
+            lambda d: (
+                F.pmod(F.xxhash64(F.lit(seed), F.lit(p), d), F.lit(2001)).cast("double") - 1000.0
+            )
+            / 1000.0,
+        )
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col).cast("array<double>"), comps, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+    bucket = F.concat(*[plane_sign(p) for p in range(planes)])
+    bucketed = df.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
+    left, right = bucketed.alias("l"), bucketed.alias("r")
+    return (
+        left.join(right, "bucket")
+        .where(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+    )

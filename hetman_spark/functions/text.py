@@ -1,0 +1,105 @@
+"""Text analysis for large-scale training-data pipelines: token
+counting, quality scoring, language ID, document fingerprinting.
+
+All pure Catalyst expressions (JVM, whole-stage codegen) — no Python
+on the hot path.  Designed for the `documents` table shape
+(doc_id, text, lang, source, n_chars) and for the webtext `text`
+column equally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# small multilingual stopword marker sets for the n-gram/stopword
+# language-ID heuristic; deliberately tiny — the heuristic's value is
+# its shape (vectorized scoring + argmax), not lexical completeness.
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "est"],
+    "es": ["el", "la", "que", "los", "es"],
+    "pt": ["o", "que", "de", "para", "uma"],
+    "ru": ["и", "в", "не", "на", "что"],
+}
+
+
+def token_count(text: Column, pattern: str = r"\s+") -> Column:
+    """Whitespace token count (BIGINT).  For a BPE-ish estimate use
+    bpe_token_estimate."""
+    return F.when(F.length(text) == 0, F.lit(0)).otherwise(
+        F.size(F.split(text, pattern))
+    ).cast("long")
+
+
+def bpe_token_estimate(text: Column) -> Column:
+    """Rough BPE token-count estimate without a tokenizer: word pieces
+    split on non-alphanumerics plus a chars/4 floor (the common
+    ~4-chars-per-token heuristic), JVM-side."""
+    words = F.size(F.split(text, r"[^\p{L}\p{N}]+"))
+    return F.greatest(words.cast("long"), (F.length(text) / 4).cast("long"))
+
+
+def word_count(text: Column, word: str) -> Column:
+    """Occurrences of a literal word (word-boundary), via length
+    difference — avoids regexp_extract_all materialization."""
+    stripped = F.regexp_replace(text, rf"\b{word}\b", "")
+    return ((F.length(text) - F.length(stripped)) / len(word)).cast("long")
+
+
+def quality_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach integer/ratio quality columns (the length/punct/stopword
+    trio every web-corpus filter starts from)."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = token_count(t)
+    alpha = F.length(F.regexp_replace(t, r"[^\p{L}]", ""))
+    punct = F.length(F.regexp_replace(t, r"[^.!?,;:]", ""))
+    stop_hits = sum(
+        (word_count(t, w) for w in _LANG_MARKERS["en"]),
+        F.lit(0).cast("long"),
+    )
+    return (
+        df.withColumn("q_n_chars", n_chars.cast("long"))
+        .withColumn("q_n_tokens", n_tokens)
+        .withColumn("q_alpha_ratio", (alpha / F.greatest(n_chars, F.lit(1))).cast("double"))
+        .withColumn("q_punct_ratio", (punct / F.greatest(n_chars, F.lit(1))).cast("double"))
+        .withColumn("q_stopword_hits", stop_hits)
+        .withColumn(
+            "q_mean_token_len",
+            (n_chars / F.greatest(n_tokens, F.lit(1))).cast("double"),
+        )
+    )
+
+
+def lang_id(text: Column) -> Column:
+    """Marker-word language ID: score each language by summed marker
+    hits, take the argmax (ties -> first by score struct ordering).
+    Pure expressions; one pass per marker word over the lowered text."""
+    lowered = F.lower(text)
+    scored = [
+        F.struct(
+            sum((word_count(lowered, w) for w in words), F.lit(0).cast("long")).alias("score"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, words in _LANG_MARKERS.items()
+    ]
+    best = F.array_max(F.array(*scored))
+    return F.when(best.getField("score") > 0, best.getField("lang")).otherwise(F.lit("und"))
+
+
+def fingerprint(text: Column, prefix_len: int = 256) -> Column:
+    """Deterministic document fingerprint: 64-bit xxhash of the
+    normalized text (whitespace collapsed, lowered).  The rolling-hash
+    shingle variant lives in dedup.simhash/minhash."""
+    normalized = F.lower(F.regexp_replace(text, r"\s+", " "))
+    return F.xxhash64(normalized)
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-stop: quality signals + lang guess + fingerprint."""
+    out = quality_signals(df, text_col)
+    return out.withColumn("lang_guess", lang_id(F.col(text_col))).withColumn(
+        "fingerprint", fingerprint(F.col(text_col))
+    )

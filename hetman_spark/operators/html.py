@@ -46,8 +46,52 @@ _FIELDS_TYPE = T.StructType(
 def extract_html_fields(html: pd.Series) -> pd.DataFrame:
     """binary html -> struct<title, text, log_line>; null fields when
     the page does not match the template (P6: row is kept)."""
-    decoded = html.map(lambda b: b.decode("utf-8", errors="strict") if b is not None else None)
-    return pd.Series(decoded).str.extract(_EXTRACT_RE)
+    decoded = html.str.decode("utf-8")
+    return decoded.str.extract(_EXTRACT_RE)
+
+
+def make_full_extract_udf(grok_pattern: str):
+    """ONE Arrow-batched UDF doing the whole parse stage: decode html,
+    extract title/text/log_line AND the grok fields of the embedded
+    access-log line in a single combined regex pass per batch.
+
+    Motivation (measured at 100k rows, local[32]): two chained pandas
+    UDFs (html fields, then grok on log_line) cost ~70s vs ~17s for
+    the pure-JVM path — the html payload crossed the Arrow boundary
+    twice and the regex scanned each page twice.  The combined UDF
+    crosses once and scans once; a second, cheaper pass handles only
+    the rows whose embedded line did NOT match the grok pattern
+    (template matches, log doesn't) so P6 passthrough still holds.
+
+    Returns (udf, field_names) where the struct is
+    title, text, log_line + the grok fields.
+    """
+    from hetman_spark.operators.parse import grok_to_regex
+
+    grok_named, grok_fields = grok_to_regex(grok_pattern, named=True)
+    # inner grok regex, de-anchored, spliced where the template has log_line
+    inner = grok_named.removeprefix("^").removesuffix("$")
+    combined = (
+        r"(?s)^<html><head><title>(?P<title>.*?)</title></head>"
+        r"<body><p>(?P<text>.*?)</p><!--log: (?P<log_line>" + inner + r") --></body></html>$"
+    )
+    all_fields = ["title", "text", "log_line", *grok_fields]
+    ret_type = T.StructType([T.StructField(f, T.StringType()) for f in all_fields])
+
+    @F.pandas_udf(ret_type)
+    def full_extract(html: pd.Series) -> pd.DataFrame:
+        decoded = html.str.decode("utf-8")
+        out = decoded.str.extract(combined)
+        missed = out["text"].isna()
+        if missed.any():
+            # fallback: template may match even when the log line does
+            # not parse (P6: keep title/text, null grok fields)
+            fallback = decoded[missed].str.extract(_EXTRACT_RE)
+            for c in ("title", "text", "log_line"):
+                out.loc[missed, c] = fallback[c]
+        return out
+
+    return full_extract, all_fields
 
 
 def extract_html_fields_jvm(html: Column) -> Column:

@@ -79,21 +79,40 @@ def with_sink_tags(
     parsed_col: str = "parsed",
     labels_col: str = "labels",
     source_col: str = "url",
+    disjoint: bool = False,
 ) -> DataFrame:
     """Build the per-record stream tags the way LokiOutput does:
     tags = merge(add_tags + {source}, parsed, labels), precedence
     labels > parsed > add_tags (loki.go:33); source tag = the tailed
     path analog, here the url
-    (/root/reference/internal/forwarder/forwarder.go:69-78)."""
+    (/root/reference/internal/forwarder/forwarder.go:69-78).
+
+    disjoint=True is a caller-VALIDATED fast path: when the sink
+    add_tags keys provably never collide with parsed field names,
+    'source', or upstream labels, the precedence merge reduces to one
+    map_concat with no higher-order lambdas.  The general merge's
+    per-row map_filter chain allocates 5 intermediate maps per record
+    and was measured to scale at ~0.5 efficiency 2->8 cores (GC-bound)
+    vs ~0.9 for the rest of the plan.
+    """
+    empty = F.create_map().cast("map<string,string>")
+    parsed = F.col(parsed_col) if parsed_col in routed.columns else F.lit(None).cast("map<string,string>")
+    labels = F.col(labels_col) if labels_col in routed.columns else F.lit(None).cast("map<string,string>")
+    if disjoint:
+        tags = F.map_concat(
+            F.coalesce(F.col("add_tags"), empty),
+            F.create_map(F.lit("source"), F.col(source_col)),
+            F.coalesce(parsed, empty),
+            F.coalesce(labels, empty),
+        )
+        return routed.withColumn("tags", tags)
     add_with_source = F.map_concat(
         F.map_filter(
-            F.coalesce(F.col("add_tags"), F.create_map().cast("map<string,string>")),
+            F.coalesce(F.col("add_tags"), empty),
             lambda k, _v: k != F.lit("source"),
         ),
         F.create_map(F.lit("source"), F.col(source_col)),
     )
-    parsed = F.col(parsed_col) if parsed_col in routed.columns else F.lit(None).cast("map<string,string>")
-    labels = F.col(labels_col) if labels_col in routed.columns else F.lit(None).cast("map<string,string>")
     return routed.withColumn("tags", merge_tags(add_with_source, parsed, labels))
 
 

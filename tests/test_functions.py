@@ -1,0 +1,136 @@
+"""Tests for the training-data-pipeline extras: text analysis, dedup,
+similarity, multimodal plumbing."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from hetman_spark.functions.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    minhash_signature,
+    ngram_jaccard,
+    shingles,
+    simhash_dedup,
+)
+from hetman_spark.functions.multimodal import (
+    extract_image_features,
+    sample_frames,
+    synth_media,
+    with_media_metadata,
+)
+from hetman_spark.functions.similarity import cosine_topk, cosine_topk_pandas, ivf_topk
+from hetman_spark.functions.text import text_stats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "the quick brown fox jumps over the lazy dog", "en"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the very lazy dog", "en"),  # near-dup
+        (4, "der schnelle braune fuchs springt und der hund ist faul", "de"),
+        (5, "completely different content about spark pipelines and data", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_text_stats(spark, docs):
+    out = {r["doc_id"]: r for r in text_stats(docs).collect()}
+    assert out[1]["q_n_tokens"] == 9
+    assert out[1]["q_stopword_hits"] >= 2  # two "the"
+    assert out[1]["lang_guess"] == "en"
+    assert out[4]["lang_guess"] == "de"
+    assert out[1]["fingerprint"] == out[2]["fingerprint"]  # identical texts
+    assert out[1]["fingerprint"] != out[5]["fingerprint"]
+
+
+def test_exact_dedup(spark, docs):
+    groups = exact_dedup(docs).collect()
+    dups = [g for g in groups if g["n_copies"] > 1]
+    assert len(dups) == 1
+    assert dups[0]["keeper_id"] == 1
+    assert dups[0]["member_ids"] == [1, 2]
+
+
+def test_shingles_and_signature_determinism(spark, docs):
+    a = docs.select(shingles(F.col("text"), 3).alias("s")).collect()[0]["s"]
+    assert "the quick brown" in a
+    s1 = docs.select(minhash_signature(F.col("text")).alias("m")).collect()
+    s2 = docs.repartition(3).select(minhash_signature(F.col("text")).alias("m")).orderBy(F.lit(1)).collect()
+    assert {tuple(r["m"]) for r in s1} == {tuple(r["m"]) for r in s2}
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_lsh_candidates(docs, bands=8, num_hashes=16).collect()}
+    assert (1, 2) in pairs  # exact dups always collide
+    # near-dup (1,3) should collide in at least one band with high prob
+    assert (1, 3) in pairs or (2, 3) in pairs
+    # unrelated docs should not collide
+    assert (4, 5) not in pairs
+
+
+def test_ngram_jaccard_verification(spark, docs):
+    pairs = spark.createDataFrame([(1, 2), (1, 3), (1, 5)], "id_a long, id_b long")
+    out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard(pairs, docs).collect()}
+    assert out[(1, 2)] == 1.0
+    assert 0.3 < out[(1, 3)] < 1.0
+    assert out[(1, 5)] < 0.1
+
+
+def test_simhash_dedup(spark, docs):
+    groups = simhash_dedup(docs).collect()
+    dup_groups = [g for g in groups if g["n_copies"] > 1]
+    assert any(g["keeper_id"] == 1 for g in dup_groups)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    # 20 deterministic vectors in 8 dims; vec 1 ~ vec 0 (scaled),
+    # vec 2 orthogonal-ish
+    rows = []
+    for i in range(20):
+        base = [math.sin(0.7 * i + d) for d in range(8)]
+        rows.append((i, [float(x) for x in base]))
+    rows[1] = (1, [x * 2.0 for x in rows[0][1]])  # same direction as 0
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_exact(spark, vectors):
+    out = cosine_topk(vectors, vectors.filter("vec_id = 0"), k=3).collect()
+    assert [r["query_id"] for r in out] == [0, 0, 0]
+    assert out[0]["neighbor_id"] == 1  # identical direction -> sim ~1
+    assert out[0]["sim"] == pytest.approx(1.0, abs=1e-6)
+    assert out[0]["rank"] == 1
+
+
+def test_cosine_topk_pandas_matches_jvm(spark, vectors):
+    qv = vectors.filter("vec_id = 0").collect()[0]["embedding"]
+    jvm = cosine_topk(vectors, vectors.filter("vec_id = 0"), k=5).collect()
+    blas = cosine_topk_pandas(vectors.filter("vec_id != 0"), list(qv), k=5).collect()
+    assert [r["neighbor_id"] for r in jvm] == [r["neighbor_id"] for r in blas]
+    for a, b in zip(jvm, blas):
+        assert a["sim"] == pytest.approx(b["sim"], abs=1e-9)
+
+
+def test_ivf_topk_probes_own_cell(spark, vectors):
+    out = ivf_topk(vectors, vectors.filter("vec_id = 0"), k=5, planes=2)
+    rows = out.collect()
+    # query 0's strongest neighbor (vec 1, identical direction) shares
+    # every hyperplane sign, so IVF must find it
+    assert rows[0]["neighbor_id"] == 1
+
+
+def test_multimodal_plumbing(spark):
+    media = with_media_metadata(synth_media(spark, 30))
+    assert media.filter("n_bytes != 128").count() == 0  # 4 x 32-char md5 hex
+    feats = extract_image_features(media).collect()
+    assert len(feats) == 10  # a third of 30
+    assert all(64 <= r["width"] <= 1088 for r in feats)
+    # determinism
+    feats2 = extract_image_features(media).collect()
+    assert sorted(map(str, feats)) == sorted(map(str, feats2))
+    frames = sample_frames(media).collect()
+    assert len(frames) > 0
+    assert all(len(r["frame_payload"]) <= 16 for r in frames)
