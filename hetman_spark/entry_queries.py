@@ -377,6 +377,135 @@ FROM events GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# Router fan-out: per-ROW equality (stronger than counts)
+# ---------------------------------------------------------------------------
+
+
+def q_route_fanout_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    routes = spark.createDataFrame(
+        [
+            ("sink_all", "*", "*"),
+            ("sink_urgent", "o_orderpriority", "1-URGENT"),
+            ("sink_finished", "o_orderstatus", "F"),
+        ],
+        "sink_id string, predicate_col string, predicate_val string",
+    )
+    routed = route_explode(o, routes, predicate_cols=["o_orderpriority", "o_orderstatus"])
+    return routed.select("sink_id", F.col("o_orderkey").alias("orderkey"))
+
+
+SQL_ROUTE_FANOUT_ROWS = """
+SELECT 'sink_all' AS sink_id, o_orderkey AS orderkey FROM orders
+UNION ALL SELECT 'sink_urgent', o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+UNION ALL SELECT 'sink_finished', o_orderkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: language-ID marker scores + BPE-ish token estimate
+# ---------------------------------------------------------------------------
+
+
+def q_lang_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hetman_spark.functions.text import bpe_token_estimate, word_count
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.lower(F.col("text"))
+    return d.select(
+        "doc_id",
+        sum((word_count(t, w) for w in ["the", "and", "of", "to", "is"]), F.lit(0).cast("long")).alias("s_en"),
+        sum((word_count(t, w) for w in ["der", "die", "und", "das", "ist"]), F.lit(0).cast("long")).alias("s_de"),
+        bpe_token_estimate(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+SQL_LANG_SCORES = r"""
+SELECT doc_id,
+  CAST((length(lower(text)) - length(regexp_replace(lower(text), '\bthe\b', '', 'g'))) / 3
+     + (length(lower(text)) - length(regexp_replace(lower(text), '\band\b', '', 'g'))) / 3
+     + (length(lower(text)) - length(regexp_replace(lower(text), '\bof\b', '', 'g'))) / 2
+     + (length(lower(text)) - length(regexp_replace(lower(text), '\bto\b', '', 'g'))) / 2
+     + (length(lower(text)) - length(regexp_replace(lower(text), '\bis\b', '', 'g'))) / 2 AS BIGINT) AS s_en,
+  CAST((length(lower(text)) - length(regexp_replace(lower(text), '\bder\b', '', 'g'))) / 3
+     + (length(lower(text)) - length(regexp_replace(lower(text), '\bdie\b', '', 'g'))) / 3
+     + (length(lower(text)) - length(regexp_replace(lower(text), '\bund\b', '', 'g'))) / 3
+     + (length(lower(text)) - length(regexp_replace(lower(text), '\bdas\b', '', 'g'))) / 3
+     + (length(lower(text)) - length(regexp_replace(lower(text), '\bist\b', '', 'g'))) / 3 AS BIGINT) AS s_de,
+  CAST(greatest(len(regexp_split_to_array(text, '[^a-zA-Z0-9]+')),
+                CAST(floor(length(text) / 4) AS BIGINT)) AS BIGINT) AS bpe_tokens
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash banded LSH candidate pairs (md5 family => engine-agnostic)
+# ---------------------------------------------------------------------------
+
+
+def q_minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+    sigs = words.groupBy("doc_id").agg(
+        *[F.min(F.md5(F.concat(F.col("w"), F.lit(s)))).alias(f"m{i}")
+          for i, s in enumerate(_MINHASH_SALTS)]
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    band1 = (F.col("a.m0") == F.col("b.m0")) & (F.col("a.m1") == F.col("b.m1"))
+    band2 = (F.col("a.m2") == F.col("b.m2")) & (F.col("a.m3") == F.col("b.m3"))
+    return (
+        a.join(b, (F.col("a.doc_id") < F.col("b.doc_id")) & (band1 | band2))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+
+
+SQL_MINHASH_PAIRS = """
+WITH sigs AS (
+  SELECT doc_id,
+         min(md5(w || 's0')) AS m0, min(md5(w || 's1')) AS m1,
+         min(md5(w || 's2')) AS m2, min(md5(w || 's3')) AS m3
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM sigs a JOIN sigs b
+  ON a.doc_id < b.doc_id
+ AND ((a.m0 = b.m0 AND a.m1 = b.m1) OR (a.m2 = b.m2 AND a.m3 = b.m3))
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rows-only queries (no SQL oracle: engine-specific hashing / approximate)
+# ---------------------------------------------------------------------------
+
+
+def q_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hetman_spark.functions.dedup import simhash_dedup
+
+    return simhash_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_embedding_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hetman_spark.functions.dedup import embedding_neardup_candidates
+
+    return embedding_neardup_candidates(_t(spark, sf_dir, "embeddings"))
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hetman_spark.functions.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.orderBy("vec_id").limit(3)
+    return ivf_topk(e, queries, k=5).select("query_id", "neighbor_id", "rank")
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hetman_spark.functions.multimodal import extract_image_features, synth_media
+
+    return extract_image_features(synth_media(spark, 300))
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -393,6 +522,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": q_text_stats,
     "ann_cosine_topk": q_ann_cosine_topk,
     "events_windowed": q_events_windowed,
+    "route_fanout_rows": q_route_fanout_rows,
+    "lang_scores": q_lang_scores,
+    "minhash_band_pairs": q_minhash_band_pairs,
+    # rows-only (no DuckDB oracle: engine-specific hashing / approximate)
+    "simhash_groups": q_simhash_groups,
+    "embedding_lsh_candidates": q_embedding_lsh_candidates,
+    "ivf_topk": q_ivf_topk,
+    "multimodal_features": q_multimodal_features,
 }
 
 ORACLES: dict[str, str] = {
@@ -408,4 +545,7 @@ ORACLES: dict[str, str] = {
     "text_stats": SQL_TEXT_STATS,
     "ann_cosine_topk": SQL_ANN_TOPK,
     "events_windowed": SQL_EVENTS_WINDOWED,
+    "route_fanout_rows": SQL_ROUTE_FANOUT_ROWS,
+    "lang_scores": SQL_LANG_SCORES,
+    "minhash_band_pairs": SQL_MINHASH_PAIRS,
 }
