@@ -30,12 +30,15 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--master", default=None)
 
     r = sub.add_parser("run", help="run the parse->enrich->route pipeline (resumable)")
-    r.add_argument("--input", required=True)
-    r.add_argument("--out", required=True)
+    r.add_argument("--input", help="webtext table path (or use --config)")
+    r.add_argument("--out", help="output dir (or use --config global.out_dir)")
+    r.add_argument("--config", help="YAML pipeline config (hetman-style targets)")
     r.add_argument("--master", default=None)
     r.add_argument("--salt-buckets", type=int, default=8)
     r.add_argument("--splits-per-commit", type=int, default=64)
     r.add_argument("--max-splits", type=int, default=None)
+    r.add_argument("--presalt", action="store_true",
+                   help="literal pre-enrich salted repartition (for non-broadcastable lookups)")
     r.add_argument("--jvm-parse", action="store_true",
                    help="use pure-JVM regex extraction instead of the pandas UDF")
 
@@ -66,15 +69,37 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "run":
         from hetman_spark.plans.pipeline import run_pipeline
+        from hetman_spark.sources.lookup import DEFAULT_SINKS
+
+        sinks = DEFAULT_SINKS
+        modifier = None
+        input_path, out_dir = args.input, args.out
+        salt_buckets, splits_per_commit = args.salt_buckets, args.splits_per_commit
+        if args.config:
+            from hetman_spark.config_yaml import load_config
+
+            gc, specs = load_config(args.config)
+            spec = specs[0]
+            sinks = spec.sinks or DEFAULT_SINKS
+            modifier = spec.modifier
+            input_path = input_path or spec.input_path
+            out_dir = out_dir or gc.out_dir
+            salt_buckets = gc.salt_buckets
+            splits_per_commit = gc.splits_per_commit
+        if not input_path or not out_dir:
+            ap.error("run requires --input/--out or --config providing them")
 
         res = run_pipeline(
             spark,
-            args.input,
-            args.out,
-            salt_buckets=args.salt_buckets,
-            splits_per_commit=args.splits_per_commit,
+            input_path,
+            out_dir,
+            sinks=sinks,
+            modifier=modifier,
+            salt_buckets=salt_buckets,
+            splits_per_commit=splits_per_commit,
             max_splits=args.max_splits,
             use_pandas_udf=not args.jvm_parse,
+            presalt=args.presalt,
         )
         sec = time.time() - t0
         print(
