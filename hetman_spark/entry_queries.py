@@ -475,6 +475,64 @@ FROM sigs a JOIN sigs b
 
 
 # ---------------------------------------------------------------------------
+# Classic OLAP shapes over the star schema (beyond the reference —
+# demonstrates the engine is a general DataFrame pipeline, not a
+# single-purpose port)
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    f = li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    return f.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("sum_qty_c"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("sum_base_c"),
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * F.round((1 - F.col("l_discount")) * 100).cast("long")
+        ).alias("sum_disc_c"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_c,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS sum_disc_c,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("o_orderpriority", F.col("o_orderkey").alias("orderkey"), "rank")
+    )
+
+
+SQL_TOPK_PER_GROUP = """
+SELECT o_orderpriority, orderkey, rank FROM (
+  SELECT o_orderpriority, o_orderkey AS orderkey,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders
+) WHERE rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
 # Rows-only queries (no SQL oracle: engine-specific hashing / approximate)
 # ---------------------------------------------------------------------------
 
@@ -525,6 +583,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_fanout_rows": q_route_fanout_rows,
     "lang_scores": q_lang_scores,
     "minhash_band_pairs": q_minhash_band_pairs,
+    "tpch_q1": q_tpch_q1,
+    "topk_per_group": q_topk_per_group,
     # rows-only (no DuckDB oracle: engine-specific hashing / approximate)
     "simhash_groups": q_simhash_groups,
     "embedding_lsh_candidates": q_embedding_lsh_candidates,
@@ -548,4 +608,6 @@ ORACLES: dict[str, str] = {
     "route_fanout_rows": SQL_ROUTE_FANOUT_ROWS,
     "lang_scores": SQL_LANG_SCORES,
     "minhash_band_pairs": SQL_MINHASH_PAIRS,
+    "tpch_q1": SQL_TPCH_Q1,
+    "topk_per_group": SQL_TOPK_PER_GROUP,
 }
