@@ -40,3 +40,63 @@ def test_windowed_counts(spark, tmp_path):
     q.awaitTermination(60)
     rows = spark.sql("SELECT sum(n) AS total FROM win_counts").collect()
     assert rows[0]["total"] == 500
+
+
+def test_stateful_multiline_stream(spark, tmp_path):
+    """P5 streaming twin: anchors flush on next anchor; the pending
+    tail flushes when more data (or timeout) arrives."""
+    from hetman_spark.streaming.multiline_state import stitch_multiline_stream
+    from pyspark.sql import types as T
+
+    schema = "file_id string, line_no long, line string"
+    rows1 = [
+        ("f1", 0, "ERROR boom"),
+        ("f1", 1, " at a.b.c"),
+        ("f1", 2, " at d.e.f"),
+        ("f1", 3, "INFO fine"),
+        ("f2", 0, "WARN solo"),
+    ]
+    src_dir = str(tmp_path / "lines")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("overwrite").parquet(src_dir)
+
+    lines = (
+        spark.readStream.schema(
+            T.StructType.fromDDL(schema)
+        ).option("maxFilesPerTrigger", 1).parquet(src_dir)
+    )
+    # long timeout so the state-retention assertions below aren't
+    # flushed by the (working) processing-time timeout during slow runs
+    out = stitch_multiline_stream(lines, r"^\s", timeout_ms=3_600_000)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory").queryName("stitched")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["file_id"], r["line_no"]): r["line"]
+        for r in spark.sql("SELECT * FROM stitched").collect()
+    }
+    # the ERROR anchor + its two continuations flushed by the INFO anchor
+    assert got[("f1", 0)] == "ERROR boom  at a.b.c  at d.e.f"
+    # INFO and WARN are still pending in state (no following anchor yet)
+    assert ("f1", 3) not in got and ("f2", 0) not in got
+
+    # feed a second batch: new anchors flush the pending ones
+    rows2 = [("f1", 4, "NEXT"), ("f2", 1, "NEXT")]
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(src_dir)
+    q2 = (
+        out.writeStream.outputMode("append")
+        .format("memory").queryName("stitched2")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got2 = {
+        (r["file_id"], r["line_no"]): r["line"]
+        for r in spark.sql("SELECT * FROM stitched2").collect()
+    }
+    assert got2[("f1", 3)] == "INFO fine"
+    assert got2[("f2", 0)] == "WARN solo"
