@@ -63,18 +63,17 @@ def scaling_runs(rows: int) -> dict:
 
     scratch = tempfile.mkdtemp(prefix="bench-webtext-")
     spark = get_spark(app_name="bench-gen", master="local[16]")
-    write_webtext(spark, f"{scratch}/main", rows, n_splits=32)
+    write_webtext(spark, f"{scratch}/main", rows, n_splits=16)
     write_webtext(spark, f"{scratch}/warmup", max(rows // 40, 2000), n_splits=4)
     spark.stop()
 
-    results: dict = {}
-    try:
-        for label, master, extra in (
-            ("N_local2", "local[2]", []),
-            ("4N_local8", "local[8]", []),
-            ("N_local2_noop", "local[2]", ["--noop"]),
-            ("4N_local8_noop", "local[8]", ["--noop"]),
-        ):
+    reps = int(os.environ.get("BENCH_REPS", "2"))
+
+    def run_one(master: str, extra: list[str]) -> dict:
+        """Best of `reps` fresh-JVM runs — this shared VM shows ±30%
+        ambient variance; min is the least-interfered sample."""
+        best: dict = {}
+        for _ in range(reps):
             proc = subprocess.run(
                 [sys.executable, "-m", "hetman_spark.benchrun",
                  "--master", master,
@@ -84,9 +83,22 @@ def scaling_runs(rows: int) -> dict:
             )
             line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
             if proc.returncode != 0 or not line:
-                results[label] = {"error": proc.stderr[-500:]}
+                best = best or {"error": proc.stderr[-500:]}
                 continue
-            results[label] = json.loads(line)
+            d = json.loads(line)
+            if "sec" not in best or d["sec"] < best["sec"]:
+                best = d
+        return best
+
+    results: dict = {}
+    try:
+        for label, master, extra in (
+            ("N_local2", "local[2]", []),
+            ("4N_local8", "local[8]", []),
+            ("N_local2_noop", "local[2]", ["--noop"]),
+            ("4N_local8_noop", "local[8]", ["--noop"]),
+        ):
+            results[label] = run_one(master, extra)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 

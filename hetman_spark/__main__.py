@@ -45,6 +45,11 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("status", help="print the checkpoint manifest")
     s.add_argument("--out", required=True)
 
+    a = sub.add_parser("analyze", help="training-data report: text stats + dedup over a documents table")
+    a.add_argument("--input", required=True, help="parquet with (doc_id, text, ...) columns")
+    a.add_argument("--master", default=None)
+    a.add_argument("--out", default=None, help="optional parquet output for per-doc stats")
+
     args = ap.parse_args(argv)
 
     if args.cmd == "status":
@@ -115,6 +120,44 @@ def main(argv: list[str] | None = None) -> int:
                 }
             )
         )
+        return 0
+
+    if args.cmd == "analyze":
+        from pyspark.sql import functions as F
+
+        from hetman_spark.functions.dedup import exact_dedup, minhash_lsh_candidates
+        from hetman_spark.functions.text import text_stats
+
+        docs = spark.read.parquet(args.input)
+        stats = text_stats(docs)
+        if args.out:
+            stats.write.mode("overwrite").parquet(args.out)
+        summary = stats.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("q_n_tokens").alias("total_tokens"),
+            F.avg("q_mean_token_len").alias("avg_token_len"),
+            F.avg("q_alpha_ratio").alias("avg_alpha_ratio"),
+        ).collect()[0]
+        langs = {
+            r["lang_guess"]: r["n"]
+            for r in stats.groupBy("lang_guess").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        dup_groups = exact_dedup(docs).filter(F.col("n_copies") > 1)
+        exact_dupes = dup_groups.agg(
+            F.coalesce(F.sum(F.col("n_copies") - 1), F.lit(0)).alias("removable")
+        ).collect()[0]["removable"]
+        near_pairs = minhash_lsh_candidates(docs).count()
+        print(json.dumps({
+            "cmd": "analyze",
+            "n_docs": summary["n_docs"],
+            "total_tokens": summary["total_tokens"],
+            "avg_token_len": round(summary["avg_token_len"], 2),
+            "avg_alpha_ratio": round(summary["avg_alpha_ratio"], 4),
+            "lang_guess_counts": langs,
+            "exact_dup_removable": exact_dupes,
+            "minhash_candidate_pairs": near_pairs,
+            "sec": round(time.time() - t0, 2),
+        }))
         return 0
 
     return 1

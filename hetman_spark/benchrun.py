@@ -48,8 +48,11 @@ def main() -> None:
                 return build_routed(reb.join(F.broadcast(lookup), "lang", "left"), routes,
                                     disjoint_tags=tags_disjoint(DEFAULT_SINKS))
 
+            # two warmup passes: small table, then the REAL input once —
+            # one small pass leaves JIT cold and timings 2x noisy
             warm = spark.read.parquet(args.warmup_input)
             flow(warm).write.format("noop").mode("overwrite").save()
+            flow(src).write.format("noop").mode("overwrite").save()
             n_rows = src.count()
             t0 = time.time()
             flow(src).write.format("noop").mode("overwrite").save()
@@ -63,9 +66,21 @@ def main() -> None:
 
         from hetman_spark.plans.pipeline import run_pipeline
 
-        # warmup: same code path, small input, throwaway output
+        # warmup: same code path on the small table, then a full noop
+        # pass over the real input so JIT/codegen/Arrow paths are hot
         run_pipeline(spark, args.warmup_input, f"{scratch}/warmup",
                      salt_buckets=args.salt_buckets, splits_per_commit=1024)
+        from pyspark.sql import functions as F
+
+        from hetman_spark.plans.pipeline import build_parsed, build_routed, tags_disjoint
+        from hetman_spark.sources.lookup import DEFAULT_SINKS, lang_lookup, routes_df
+
+        _lk, _rt = lang_lookup(spark), routes_df(spark)
+        build_routed(
+            build_parsed(spark.read.parquet(args.input)).drop("html")
+            .hint("rebalance", "split_id").join(F.broadcast(_lk), "lang", "left"),
+            _rt, disjoint_tags=tags_disjoint(DEFAULT_SINKS),
+        ).write.format("noop").mode("overwrite").save()
 
         t0 = time.time()
         res = run_pipeline(spark, args.input, f"{scratch}/out",

@@ -36,12 +36,12 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hetman_spark.config import ModifierConfig, PipelineSpec, SinkConfig
+from hetman_spark.config import ModifierConfig, SinkConfig
 from hetman_spark.operators.enrich import enrich_with_lookup
 from hetman_spark.operators.html import make_full_extract_udf, with_html_fields
 from hetman_spark.operators.modify import apply_modifier
 from hetman_spark.operators.parse import parse_grok
-from hetman_spark.operators.route import route_explode, sink_counts, with_sink_tags
+from hetman_spark.operators.route import route_explode, with_sink_tags
 from hetman_spark.plans.checkpoint import commit_split, committed_splits
 from hetman_spark.sources.lookup import DEFAULT_SINKS, lang_lookup, routes_df
 
@@ -212,7 +212,6 @@ def _footer_lineage(
     wanted = set(batch)
     per_split_routes: dict[int, dict[str, int]] = {}
     in_counts: dict[int, tuple[int, int]] = {}
-    unparsed: dict[int, int] = {}
     if not os.path.isdir(data_dir):
         return in_counts, per_split_routes
     for sink_name in os.listdir(data_dir):
@@ -248,7 +247,6 @@ def _footer_lineage(
             per_split_routes.setdefault(split_id, {})[sink_id] = n
             if sink_id == matchall_sink:
                 in_counts[split_id] = (n, n - nulls)
-                unparsed[split_id] = nulls
     return in_counts, per_split_routes
 
 
