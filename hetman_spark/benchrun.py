@@ -21,6 +21,8 @@ def main() -> None:
     ap.add_argument("--input", required=True)
     ap.add_argument("--warmup-input", required=True)
     ap.add_argument("--salt-buckets", type=int, default=8)
+    ap.add_argument("--presalt", action="store_true",
+                    help="literal pre-enrich salted repartition path")
     ap.add_argument("--noop", action="store_true",
                     help="compute-path only: run the full plan into a noop sink "
                          "(isolates executor-scaling work from the single local "
@@ -69,7 +71,8 @@ def main() -> None:
         # warmup: same code path on the small table, then a full noop
         # pass over the real input so JIT/codegen/Arrow paths are hot
         run_pipeline(spark, args.warmup_input, f"{scratch}/warmup",
-                     salt_buckets=args.salt_buckets, splits_per_commit=1024)
+                     salt_buckets=args.salt_buckets, splits_per_commit=1024,
+                     presalt=args.presalt)
         from pyspark.sql import functions as F
 
         from hetman_spark.plans.pipeline import build_parsed, build_routed, tags_disjoint
@@ -84,7 +87,8 @@ def main() -> None:
 
         t0 = time.time()
         res = run_pipeline(spark, args.input, f"{scratch}/out",
-                           salt_buckets=args.salt_buckets, splits_per_commit=1024)
+                           salt_buckets=args.salt_buckets, splits_per_commit=1024,
+                           presalt=args.presalt)
         sec = time.time() - t0
         print(json.dumps({
             "master": args.master,

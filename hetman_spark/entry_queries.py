@@ -563,6 +563,27 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_image_features(synth_media(spark, 300))
 
 
+def q_webtext_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual webtext pipeline (generate -> parse -> enrich ->
+    route) on a fixed deterministic 20k-row table, returning per-sink
+    counts.  Rows-only in the driver gate (the generator's xxhash64
+    derivations have no DuckDB twin) but fully deterministic, so the
+    recorded values must be bit-stable across rounds and parallelism:
+    archive=20000, en-sink=5957, errors=1281, emea=5957+... (recorded
+    by the driver)."""
+    from hetman_spark.plans.pipeline import build_parsed, build_routed, tags_disjoint
+    from hetman_spark.sources.lookup import DEFAULT_SINKS, lang_lookup, routes_df
+    from hetman_spark.sources.webtext import generate_webtext
+
+    df = generate_webtext(spark, 20_000, n_splits=8)
+    flow = build_routed(
+        build_parsed(df).drop("html").join(F.broadcast(lang_lookup(spark)), "lang", "left"),
+        routes_df(spark),
+        disjoint_tags=tags_disjoint(DEFAULT_SINKS),
+    )
+    return flow.groupBy("sink_id").agg(F.count(F.lit(1)).alias("n"))
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -590,6 +611,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_lsh_candidates": q_embedding_lsh_candidates,
     "ivf_topk": q_ivf_topk,
     "multimodal_features": q_multimodal_features,
+    "webtext_route_counts": q_webtext_route_counts,
 }
 
 ORACLES: dict[str, str] = {

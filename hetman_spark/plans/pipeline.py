@@ -296,6 +296,7 @@ def run_pipeline(
     max_splits: int | None = None,
     use_pandas_udf: bool = True,
     presalt: bool = False,
+    labeled_input_path: str | None = None,
 ) -> PipelineResult:
     """Resumable driver loop.
 
@@ -324,6 +325,13 @@ def run_pipeline(
 
     src = spark.read.parquet(input_path)
     all_splits = _discover_splits(spark, src, input_path)
+    if labeled_input_path:
+        # the push table must share the split scheme; take the union
+        # so push-only splits are not silently skipped
+        labeled_splits = _discover_splits(
+            spark, spark.read.parquet(labeled_input_path), labeled_input_path
+        )
+        all_splits = sorted(set(all_splits) | set(labeled_splits))
     done = committed_splits(manifest_dir)
     todo = [s for s in all_splits if s not in done]
     if max_splits is not None:
@@ -338,6 +346,18 @@ def run_pipeline(
         # manifest anti-join == partition-pruned isin filter on the
         # partition column (split_id) — Catalyst prunes at the source.
         df = src.filter(F.col("split_id").isin(batch))
+
+        # S6 aggregator mode: union a pre-labeled push table (same
+        # webtext shape + a labels map column) before the parse stage;
+        # those labels take top tag-merge precedence
+        # (/root/reference/internal/cmd/aggregator.go:72-83).
+        if labeled_input_path:
+            from hetman_spark.sources.labeled import union_labeled
+
+            labeled = spark.read.parquet(labeled_input_path).filter(
+                F.col("split_id").isin(batch)
+            )
+            df = union_labeled(df, labeled)
 
         # No persist: the columnar cache build costs ~0.5-1x the parse
         # itself in pure memory bandwidth, which does NOT scale with
@@ -360,8 +380,10 @@ def run_pipeline(
         # this layout writes ~sinks x max(tasks, splits) files,
         # not tasks x dirs.
         rebalanced = parsed.hint("rebalance", "split_id")
+        # labels from a push source are data-dependent -> the
+        # driver-validated disjoint fast path is off in that mode
         routed = build_routed(enrich(rebalanced), routes,
-                              disjoint_tags=tags_disjoint(sinks))
+                              disjoint_tags=not labeled_input_path and tags_disjoint(sinks))
         (
             routed.write.mode("overwrite")
             .option("compression", "zstd")

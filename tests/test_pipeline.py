@@ -112,3 +112,31 @@ def test_counts_identical_across_parallelism(spark, webtext_path, tmp_path):
         outs[tag] = res.sink_counts
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     assert outs["n"] == outs["4n"]
+
+
+def test_aggregator_mode_labeled_union(spark, tmp_path):
+    # S6: a pre-labeled push table unioned before parse; its labels
+    # win the tag merge (aggregator.go:72-83 + loki.go:33)
+    from hetman_spark.sources.labeled import with_labels
+    from hetman_spark.sources.webtext import generate_webtext
+
+    main = str(tmp_path / "main")
+    push = str(tmp_path / "push")
+    generate_webtext(spark, 400, n_splits=4).repartition(4, "split_id") \
+        .write.partitionBy("split_id").parquet(main)
+    pushed = with_labels(generate_webtext(spark, 4000, n_splits=4)
+                         .filter("split_id = 1").limit(50),
+                         {"origin": "push", "status": "pushed-status"})
+    pushed.repartition(1).write.partitionBy("split_id").parquet(push)
+    n_push = spark.read.parquet(push).count()
+
+    out = str(tmp_path / "out")
+    res = run_pipeline(spark, main, out, labeled_input_path=push, splits_per_commit=8)
+    assert res.rows_in == 400 + n_push
+
+    data = spark.read.parquet(os.path.join(out, "data"))
+    pushed_rows = data.filter(F.col("tags")["origin"] == "push")
+    assert pushed_rows.count() > 0
+    # upstream labels override parsed fields on key conflict
+    row = pushed_rows.limit(1).collect()[0]
+    assert row["tags"]["status"] == "pushed-status"
