@@ -34,8 +34,10 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--out", help="output dir (or use --config global.out_dir)")
     r.add_argument("--config", help="YAML pipeline config (hetman-style targets)")
     r.add_argument("--master", default=None)
-    r.add_argument("--salt-buckets", type=int, default=8)
-    r.add_argument("--splits-per-commit", type=int, default=64)
+    # default=None so "explicitly set on the CLI" is distinguishable
+    # from "unset" — an explicit flag wins over config values
+    r.add_argument("--salt-buckets", type=int, default=None)
+    r.add_argument("--splits-per-commit", type=int, default=None)
     r.add_argument("--max-splits", type=int, default=None)
     r.add_argument("--presalt", action="store_true",
                    help="literal pre-enrich salted repartition (for non-broadcastable lookups)")
@@ -73,50 +75,92 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "run":
+        import os
+
         from hetman_spark.plans.pipeline import run_pipeline
         from hetman_spark.sources.lookup import DEFAULT_SINKS
 
-        sinks = DEFAULT_SINKS
-        modifier = None
-        input_path, out_dir = args.input, args.out
-        salt_buckets, splits_per_commit = args.salt_buckets, args.splits_per_commit
+        # Every config target runs (the reference runs every workflow,
+        # orchestrator.go runWorkflow loop) — not just specs[0].  A
+        # bare --input/--out run is a single anonymous target.
+        targets: list[tuple[str, str, tuple, object]] = []
+        salt_buckets = args.salt_buckets if args.salt_buckets is not None else 8
+        splits_per_commit = (
+            args.splits_per_commit if args.splits_per_commit is not None else 64
+        )
         if args.config:
             from hetman_spark.config_yaml import load_config
 
             gc, specs = load_config(args.config)
-            spec = specs[0]
-            sinks = spec.sinks or DEFAULT_SINKS
-            modifier = spec.modifier
-            input_path = input_path or spec.input_path
-            out_dir = out_dir or gc.out_dir
-            salt_buckets = gc.salt_buckets
-            splits_per_commit = gc.splits_per_commit
-        if not input_path or not out_dir:
-            ap.error("run requires --input/--out or --config providing them")
+            # config supplies defaults; an EXPLICIT CLI flag wins
+            if args.salt_buckets is None:
+                salt_buckets = gc.salt_buckets
+            if args.splits_per_commit is None:
+                splits_per_commit = gc.splits_per_commit
+            base_out = args.out or gc.out_dir
+            if not base_out:
+                ap.error("run requires --out or config global.out_dir")
+            for i, spec in enumerate(specs):
+                input_path = args.input or spec.input_path
+                if not input_path:
+                    ap.error(
+                        f"target {spec.id or i} has no input.path and no --input given"
+                    )
+                # each target gets its own manifest/data namespace so
+                # resume state never crosses targets
+                out_dir = (
+                    os.path.join(base_out, spec.id or f"target{i}")
+                    if len(specs) > 1
+                    else base_out
+                )
+                targets.append((input_path, out_dir, spec.sinks or DEFAULT_SINKS,
+                                spec.modifier))
+        else:
+            if not args.input or not args.out:
+                ap.error("run requires --input/--out or --config providing them")
+            targets.append((args.input, args.out, DEFAULT_SINKS, None))
 
-        res = run_pipeline(
-            spark,
-            input_path,
-            out_dir,
-            sinks=sinks,
-            modifier=modifier,
-            salt_buckets=salt_buckets,
-            splits_per_commit=splits_per_commit,
-            max_splits=args.max_splits,
-            use_pandas_udf=not args.jvm_parse,
-            presalt=args.presalt,
-        )
+        per_target = []
+        tot_in = tot_parsed = 0
+        tot_sinks: dict[str, int] = {}
+        n_splits_done = 0
+        for input_path, out_dir, sinks, modifier in targets:
+            res = run_pipeline(
+                spark,
+                input_path,
+                out_dir,
+                sinks=sinks,
+                modifier=modifier,
+                salt_buckets=salt_buckets,
+                splits_per_commit=splits_per_commit,
+                max_splits=args.max_splits,
+                use_pandas_udf=not args.jvm_parse,
+                presalt=args.presalt,
+            )
+            n_splits_done += len(res.splits_processed)
+            tot_in += res.rows_in
+            tot_parsed += res.rows_parsed
+            for k, v in res.sink_counts.items():
+                tot_sinks[k] = tot_sinks.get(k, 0) + v
+            per_target.append({
+                "out": out_dir,
+                "splits_processed": len(res.splits_processed),
+                "rows_in": res.rows_in,
+                "stage_counts": res.stage_counts,
+            })
         sec = time.time() - t0
         print(
             json.dumps(
                 {
                     "cmd": "run",
-                    "splits_processed": len(res.splits_processed),
-                    "rows_in": res.rows_in,
-                    "rows_parsed": res.rows_parsed,
-                    "sink_counts": res.sink_counts,
+                    "targets": len(targets),
+                    "splits_processed": n_splits_done,
+                    "rows_in": tot_in,
+                    "rows_parsed": tot_parsed,
+                    "sink_counts": tot_sinks,
+                    "per_target": per_target,
                     "sec": round(sec, 2),
-                    "pages_per_sec": round(res.rows_in / sec, 1) if sec > 0 else None,
+                    "pages_per_sec": round(tot_in / sec, 1) if sec > 0 else None,
                 }
             )
         )

@@ -147,7 +147,7 @@ def q_enrich_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_ENRICH = """
 SELECT r_name AS region,
        count(*) AS n_customers,
-       sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS acctbal_cents
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
@@ -218,7 +218,7 @@ def q_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_LANG_COUNTS = """
-SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY lang
 """
 
@@ -371,7 +371,7 @@ SQL_EVENTS_WINDOWED = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
        event_type,
        count(*) AS n,
-       sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events GROUP BY 1, 2
 """
 
@@ -444,18 +444,35 @@ FROM documents
 
 
 def q_minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH candidate pairs as a bucketed EQUI-join (never all-pairs).
+
+    Each doc explodes into one (band, bucket) row per band, where bucket is
+    the md5 of that band's signature slice; docs sharing a bucket become a
+    candidate pair via an equi-join on (band, bucket) — the same shape as
+    functions/dedup.py:minhash_lsh_candidates, so the plan is a hash join
+    that shuffles only (doc_id, band, bucket), never the n^2 cross product.
+    A pair colliding in both bands appears once (distinct)."""
     d = _t(spark, sf_dir, "documents")
     words = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
     sigs = words.groupBy("doc_id").agg(
         *[F.min(F.md5(F.concat(F.col("w"), F.lit(s)))).alias(f"m{i}")
           for i, s in enumerate(_MINHASH_SALTS)]
     )
-    a, b = sigs.alias("a"), sigs.alias("b")
-    band1 = (F.col("a.m0") == F.col("b.m0")) & (F.col("a.m1") == F.col("b.m1"))
-    band2 = (F.col("a.m2") == F.col("b.m2")) & (F.col("a.m3") == F.col("b.m3"))
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"), F.md5(F.concat("m0", "m1")).alias("bucket")),
+                F.struct(F.lit(1).alias("band"), F.md5(F.concat("m2", "m3")).alias("bucket")),
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+    a, b = bands.alias("a"), bands.alias("b")
     return (
-        a.join(b, (F.col("a.doc_id") < F.col("b.doc_id")) & (band1 | band2))
+        a.join(b, ["band", "bucket"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
     )
 
 
@@ -466,11 +483,14 @@ WITH sigs AS (
          min(md5(w || 's2')) AS m2, min(md5(w || 's3')) AS m3
   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
   GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, 0 AS band, md5(m0 || m1) AS bucket FROM sigs
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5(m2 || m3) AS bucket FROM sigs
 )
-SELECT a.doc_id AS id_a, b.doc_id AS id_b
-FROM sigs a JOIN sigs b
-  ON a.doc_id < b.doc_id
- AND ((a.m0 = b.m0 AND a.m1 = b.m1) OR (a.m2 = b.m2 AND a.m3 = b.m3))
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+WHERE a.doc_id < b.doc_id
 """
 
 
@@ -497,10 +517,10 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TPCH_Q1 = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_c,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-           * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS sum_disc_c,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_c,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_c,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'

@@ -59,6 +59,12 @@ class PipelineResult:
     rows_in: int = 0
     rows_parsed: int = 0
     sink_counts: dict[str, int] = field(default_factory=dict)
+    # A3/A4: per-stage observed counters, collected via df.observe from
+    # the SAME job that writes the sinks (no extra pass) — the analog of
+    # hetman's per-stage OTel counters (/root/reference/internal/
+    # telemetry/metrics/metrics.go:77-113).  Keys: source.rows_in,
+    # parse.rows_parsed, parse.errors, route.rows_routed.
+    stage_counts: dict[str, int] = field(default_factory=dict)
 
 
 def build_parsed(
@@ -147,11 +153,18 @@ LOG_FIELDS = ["remote_addr", "remote_user", "time_local", "request",
               "status", "bytes_sent", "referrer", "user_agent"]
 
 
-def tags_disjoint(sinks: tuple[SinkConfig, ...]) -> bool:
+def tags_disjoint(
+    sinks: tuple[SinkConfig, ...], modifier: ModifierConfig | None = None
+) -> bool:
     """Driver-side validation for the fast tag-merge path: no sink
-    add_tags key can collide with a parsed field name or 'source'
-    (see with_sink_tags(disjoint=True))."""
+    add_tags key can collide with a parsed-map key or 'source' (see
+    with_sink_tags(disjoint=True), which map_concats without dedup —
+    Spark's default mapKeyDedupPolicy=EXCEPTION throws on collision).
+    The parsed map holds LOG_FIELDS plus any modifier add_fields keys,
+    so those count as reserved too."""
     reserved = set(LOG_FIELDS) | {"source"}
+    if modifier is not None:
+        reserved |= set(getattr(modifier, "add_fields", {}) or {})
     return all(not (set(s.add_tags) & reserved) for s in sinks)
 
 
@@ -366,6 +379,18 @@ def run_pipeline(
         # lineage agg job instead — CPU that scales linearly.
         parsed = build_parsed(df, modifier=modifier, use_pandas_udf=use_pandas_udf).drop("html")
 
+        # A3/A4 per-stage counters: observations ride the write job
+        # (map-side aggregated by the executor metrics system, zero
+        # extra Spark jobs, zero extra shuffles).
+        from pyspark.sql import Observation
+
+        obs_parse = Observation()
+        parsed = parsed.observe(
+            obs_parse,
+            F.count(F.lit(1)).alias("rows_in"),
+            F.count_if(F.col("parse_ok")).alias("rows_parsed"),
+        )
+
         def enrich(frame: DataFrame) -> DataFrame:
             if presalt:
                 return enrich_with_lookup(frame, lookup, on="lang",
@@ -382,14 +407,27 @@ def run_pipeline(
         rebalanced = parsed.hint("rebalance", "split_id")
         # labels from a push source are data-dependent -> the
         # driver-validated disjoint fast path is off in that mode
-        routed = build_routed(enrich(rebalanced), routes,
-                              disjoint_tags=not labeled_input_path and tags_disjoint(sinks))
+        routed = build_routed(
+            enrich(rebalanced), routes,
+            disjoint_tags=not labeled_input_path and tags_disjoint(sinks, modifier),
+        )
+        obs_route = Observation()
+        routed = routed.observe(obs_route, F.count(F.lit(1)).alias("rows_routed"))
         (
             routed.write.mode("overwrite")
             .option("compression", "zstd")
             .partitionBy("sink_id", "split_id")
             .parquet(data_dir)
         )
+        p_metrics = obs_parse.get
+        r_metrics = obs_route.get
+        for key, val in (
+            ("source.rows_in", p_metrics["rows_in"]),
+            ("parse.rows_parsed", p_metrics["rows_parsed"]),
+            ("parse.errors", p_metrics["rows_in"] - p_metrics["rows_parsed"]),
+            ("route.rows_routed", r_metrics["rows_routed"]),
+        ):
+            result.stage_counts[key] = result.stage_counts.get(key, 0) + int(val or 0)
 
         # lineage (A1/A2): per-split in/parsed/routed counts.  With a
         # match-all sink (the common config — hetman forwarders each
@@ -427,12 +465,11 @@ def run_pipeline(
             for s in batch:
                 in_counts[s] = (rows_in_tmp.get(s, 0), rows_p_tmp.get(s, 0))
 
-        routed_counts = [
-            {"sink_id": k} for m in per_split_routes.values() for k in m
-        ]
         _write_lineage(lineage_dir, batch, in_counts, per_split_routes)
 
-        # manifest commit — strictly after all sink writes (A5)
+        # manifest commit — strictly after all sink writes (A5).
+        # sink_ids records the sinks THIS split actually routed to, not
+        # the batch-wide union.
         for s in batch:
             commit_split(
                 manifest_dir,
@@ -441,7 +478,7 @@ def run_pipeline(
                     "rows_in": in_counts.get(s, (0, 0))[0],
                     "rows_parsed": in_counts.get(s, (0, 0))[1],
                     "rows_routed": per_split_routes.get(s, {}),
-                    "sink_ids": sorted({r["sink_id"] for r in routed_counts}),
+                    "sink_ids": sorted(per_split_routes.get(s, {})),
                 },
             )
 

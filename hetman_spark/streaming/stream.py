@@ -14,8 +14,11 @@ The transform chain REUSES the batch operators verbatim
 (build_parsed / enrich / route): one definition of the semantics, two
 execution modes — the core argument for rebuilding hetman on Spark.
 
-Sink: foreachBatch -> per-sink partitioned parquet appends, giving
-exactly-once per micro-batch via the streaming commit log.
+Sink: foreachBatch -> per-sink partitioned parquet, one partition per
+epoch_id with dynamic partition overwrite, so a retried micro-batch
+replaces its own partial output instead of duplicating it
+(exactly-once OBSERVABLE output on top of foreachBatch's
+at-least-once delivery).
 """
 
 from __future__ import annotations
@@ -89,12 +92,20 @@ def streaming_pipeline(
     parsed = build_parsed(stream).drop("html")
 
     def sink_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        # Idempotent sink: foreachBatch gives at-least-once delivery (a
+        # retried/restarted micro-batch re-runs with the SAME epoch_id),
+        # so a blind append would duplicate rows.  Writing each epoch
+        # into its own partition with dynamic partition overwrite makes
+        # the retry replace its earlier partial output — the streaming
+        # twin of the batch manifest's overwrite-then-commit design.
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         routed = build_routed(
             batch_df.join(F.broadcast(lookup), "lang", "left"), routes, disjoint_tags=disjoint
         )
         (
-            routed.write.mode("append")
-            .partitionBy("sink_id", "split_id")
+            routed.withColumn("epoch_id", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .partitionBy("epoch_id", "sink_id", "split_id")
             .parquet(f"{out_dir}/data")
         )
 

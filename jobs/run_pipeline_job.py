@@ -39,32 +39,58 @@ def main() -> None:
         .getOrCreate()
     )
 
+    import os
+
     from hetman_spark.plans.pipeline import run_pipeline
     from hetman_spark.sources.lookup import DEFAULT_SINKS
 
-    sinks, modifier = DEFAULT_SINKS, None
+    # every config target runs (reference runs every workflow); a bare
+    # --input/--out invocation is one anonymous target
+    targets = [(args.input, args.out, DEFAULT_SINKS, None)]
     if args.config:
         from hetman_spark.config_yaml import load_config
 
         _gc, specs = load_config(args.config)
-        sinks, modifier = specs[0].sinks, specs[0].modifier
+        targets = [
+            (
+                args.input or spec.input_path,
+                os.path.join(args.out, spec.id or f"target{i}")
+                if len(specs) > 1 else args.out,
+                spec.sinks or DEFAULT_SINKS,
+                spec.modifier,
+            )
+            for i, spec in enumerate(specs)
+        ]
 
     t0 = time.time()
-    res = run_pipeline(
-        spark, args.input, args.out,
-        sinks=sinks, modifier=modifier,
-        salt_buckets=args.salt_buckets,
-        splits_per_commit=args.splits_per_commit,
-        presalt=args.presalt,
-    )
+    tot_in = tot_parsed = n_done = 0
+    tot_sinks: dict[str, int] = {}
+    stage_counts: dict[str, int] = {}
+    for input_path, out_dir, sinks, modifier in targets:
+        res = run_pipeline(
+            spark, input_path, out_dir,
+            sinks=sinks, modifier=modifier,
+            salt_buckets=args.salt_buckets,
+            splits_per_commit=args.splits_per_commit,
+            presalt=args.presalt,
+        )
+        n_done += len(res.splits_processed)
+        tot_in += res.rows_in
+        tot_parsed += res.rows_parsed
+        for k, v in res.sink_counts.items():
+            tot_sinks[k] = tot_sinks.get(k, 0) + v
+        for k, v in res.stage_counts.items():
+            stage_counts[k] = stage_counts.get(k, 0) + v
     sec = time.time() - t0
     print(json.dumps({
-        "splits_processed": len(res.splits_processed),
-        "rows_in": res.rows_in,
-        "rows_parsed": res.rows_parsed,
-        "sink_counts": res.sink_counts,
+        "targets": len(targets),
+        "splits_processed": n_done,
+        "rows_in": tot_in,
+        "rows_parsed": tot_parsed,
+        "sink_counts": tot_sinks,
+        "stage_counts": stage_counts,
         "sec": round(sec, 2),
-        "pages_per_sec": round(res.rows_in / sec, 1) if sec > 0 else None,
+        "pages_per_sec": round(tot_in / sec, 1) if sec > 0 else None,
     }))
 
 

@@ -20,20 +20,30 @@ TABLES = [
 
 
 def normalize(rows, cols):
+    """Type-STRICT normalization: the driver's value-hash distinguishes
+    Decimal(5) from 5 (DuckDB integer sum() -> decimal128 via Arrow vs
+    Spark int64), so each value carries its type name.  Python's
+    Decimal == int comparison would otherwise silently mask exactly the
+    hash-fail class seen in CORRECTNESS_r01 (VERDICT.md What's-wrong #1)."""
     out = []
     for row in rows:
         vals = []
         for c in cols:
             v = row[c] if not isinstance(row, tuple) else row[cols.index(c)]
+            if isinstance(v, bool):
+                vals.append(("bool", v))
+                continue
             if isinstance(v, float):
                 v = round(v, 6)
                 if v == -0.0:
                     v = 0.0
+                vals.append(("float", v))
+                continue
             if hasattr(v, "isoformat"):
                 v = v.isoformat()
             if isinstance(v, dict):
                 v = tuple(sorted(v.items()))
-            vals.append(v)
+            vals.append((type(v).__name__, v))
         out.append(tuple(vals))
     return sorted(out, key=lambda t: tuple(str(x) for x in t))
 
