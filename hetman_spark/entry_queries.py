@@ -553,14 +553,139 @@ SELECT o_orderpriority, orderkey, rank FROM (
 
 
 # ---------------------------------------------------------------------------
-# Rows-only queries (no SQL oracle: engine-specific hashing / approximate)
+# P3/P4: syslog parse — synthesize RFC5424/RFC3164 lines from testdata,
+# parse with the real operators; the oracle derives the expected fields
+# INDEPENDENTLY from the source columns (ground truth, not a regex twin).
+# ~10% of lines are corrupted to exercise the P6 null-passthrough.
+# ---------------------------------------------------------------------------
+
+
+def q_syslog_rfc5424(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hetman_spark.operators.parse import parse_syslog_rfc5424
+
+    e = _t(spark, sf_dir, "events")
+    valid = (F.col("event_id") % 10) != 0
+    line = F.concat(
+        F.when(valid, F.lit("<165>1 ")).otherwise(F.lit("bogus ")),
+        F.lit("2024-01-01T00:00:00Z host"), F.col("user_id").cast("string"),
+        F.lit(".example.com app_"), F.col("event_type"),
+        F.lit(" proc"), (F.col("event_id") % 7).cast("string"),
+        F.lit(" ID"), (F.col("event_id") % 100).cast("string"),
+        F.lit(" - event "), F.col("event_id").cast("string"),
+    )
+    p = parse_syslog_rfc5424(line)
+    return e.select(
+        "event_id",
+        p["app_name"].alias("app_name"),
+        p["hostname"].alias("hostname"),
+        p["message"].alias("message"),
+        p["msg_id"].alias("msg_id"),
+        p["proc_id"].alias("proc_id"),
+        p["structured_data"].alias("structured_data"),
+        p.isNotNull().alias("parse_ok"),
+    )
+
+
+SQL_SYSLOG_RFC5424 = """
+SELECT event_id,
+       CASE WHEN event_id % 10 != 0 THEN 'app_' || event_type END AS app_name,
+       CASE WHEN event_id % 10 != 0
+            THEN 'host' || CAST(user_id AS VARCHAR) || '.example.com' END AS hostname,
+       CASE WHEN event_id % 10 != 0
+            THEN 'event ' || CAST(event_id AS VARCHAR) END AS message,
+       CASE WHEN event_id % 10 != 0
+            THEN 'ID' || CAST(event_id % 100 AS VARCHAR) END AS msg_id,
+       CASE WHEN event_id % 10 != 0
+            THEN 'proc' || CAST(event_id % 7 AS VARCHAR) END AS proc_id,
+       CASE WHEN event_id % 10 != 0 THEN '-' END AS structured_data,
+       event_id % 10 != 0 AS parse_ok
+FROM events
+"""
+
+
+def q_syslog_rfc3164(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hetman_spark.operators.parse import parse_syslog_rfc3164
+
+    o = _t(spark, sf_dir, "orders")
+    valid = (F.col("o_orderkey") % 7) != 0
+    line = F.concat(
+        F.when(valid, F.lit("<34>")).otherwise(F.lit("")),
+        F.lit("Oct 11 22:14:15 host"), F.col("o_custkey").cast("string"),
+        F.lit(" svc"), (F.col("o_orderkey") % 5).cast("string"),
+        F.lit("["), (F.col("o_orderkey") % 997).cast("string"),
+        F.lit("]: order "), F.col("o_orderkey").cast("string"),
+        F.lit(" status "), F.col("o_orderstatus"),
+    )
+    p = parse_syslog_rfc3164(line)
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        p["content"].alias("content"),
+        p["hostname"].alias("hostname"),
+        p["tag"].alias("tag"),
+        p.isNotNull().alias("parse_ok"),
+    )
+
+
+SQL_SYSLOG_RFC3164 = """
+SELECT o_orderkey AS orderkey,
+       CASE WHEN o_orderkey % 7 != 0
+            THEN 'order ' || CAST(o_orderkey AS VARCHAR) || ' status ' || o_orderstatus
+            END AS content,
+       CASE WHEN o_orderkey % 7 != 0
+            THEN 'host' || CAST(o_custkey AS VARCHAR) END AS hostname,
+       CASE WHEN o_orderkey % 7 != 0
+            THEN 'svc' || CAST(o_orderkey % 5 AS VARCHAR) END AS tag,
+       o_orderkey % 7 != 0 AS parse_ok
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash duplicate groups — md5-based 60-bit variant so DuckDB computes
+# the IDENTICAL signature (the xxhash64 library simhash stays the
+# perf-path default; see functions/dedup.py simhash vs simhash_md5).
 # ---------------------------------------------------------------------------
 
 
 def q_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hetman_spark.functions.dedup import simhash_dedup
+    from hetman_spark.functions.dedup import simhash_md5
 
-    return simhash_dedup(_t(spark, sf_dir, "documents"))
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", simhash_md5(F.col("text")).alias("simhash"))
+        .groupBy("simhash")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+SQL_SIMHASH_GROUPS = r"""
+WITH words AS (
+  SELECT DISTINCT doc_id, w FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+    FROM documents)
+), hx AS (
+  SELECT doc_id, md5(w) AS h FROM words
+), votes AS (
+  SELECT doc_id, i,
+         sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, 1 + i // 4, 1)) - 1)
+                        >> (3 - (i % 4))) & 1 = 1
+                  THEN 1 ELSE -1 END) AS v
+  FROM hx CROSS JOIN (SELECT CAST(unnest(range(60)) AS INT) AS i)
+  GROUP BY doc_id, i
+), sigs AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << (59 - i)) ELSE 0 END)
+              AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+)
+SELECT simhash, min(doc_id) AS keeper_id, count(*) AS n_copies
+FROM sigs GROUP BY simhash
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rows-only queries (no SQL oracle: engine-specific hashing / approximate)
+# ---------------------------------------------------------------------------
 
 
 def q_embedding_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -583,25 +708,59 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_image_features(synth_media(spark, 300))
 
 
+_WEBTEXT_ORACLE_PATH = "/tmp/hetman_spark_oracle_webtext"
+
+
 def q_webtext_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The actual webtext pipeline (generate -> parse -> enrich ->
     route) on a fixed deterministic 20k-row table, returning per-sink
-    counts.  Rows-only in the driver gate (the generator's xxhash64
-    derivations have no DuckDB twin) but fully deterministic, so the
-    recorded values must be bit-stable across rounds and parallelism:
-    archive=20000, en-sink=5957, errors=1281, emea=5957+... (recorded
-    by the driver)."""
+    counts.  The generated table is materialized to parquet at a fixed
+    path so the DuckDB oracle can read the SAME bytes and re-derive the
+    routing independently (regex over the decoded html for the status
+    class + an inline lang->region mapping) — full parity for the
+    flagship pipeline query instead of rows-only."""
     from hetman_spark.plans.pipeline import build_parsed, build_routed, tags_disjoint
     from hetman_spark.sources.lookup import DEFAULT_SINKS, lang_lookup, routes_df
-    from hetman_spark.sources.webtext import generate_webtext
+    from hetman_spark.sources.webtext import write_webtext
 
-    df = generate_webtext(spark, 20_000, n_splits=8)
+    write_webtext(spark, _WEBTEXT_ORACLE_PATH, 20_000, n_splits=8)
+    df = spark.read.parquet(_WEBTEXT_ORACLE_PATH)
     flow = build_routed(
         build_parsed(df).drop("html").join(F.broadcast(lang_lookup(spark)), "lang", "left"),
         routes_df(spark),
         disjoint_tags=tags_disjoint(DEFAULT_SINKS),
     )
     return flow.groupBy("sink_id").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _sql_webtext_route_counts() -> str:
+    """Build the DuckDB twin from the SAME config objects the Spark
+    side uses (sink signatures + lang->region rows), so the oracle
+    can't drift from the fixture."""
+    from hetman_spark.sources.lookup import DEFAULT_SINKS, _LOOKUP_ROWS
+
+    sig = {s.predicate_col + "=" + s.predicate_val: s.signature() for s in DEFAULT_SINKS}
+    region_case = " ".join(
+        f"WHEN '{lang}' THEN '{region}'" for lang, _, region, _, _ in _LOOKUP_ROWS
+    )
+    return f"""
+WITH src AS (
+  SELECT lang, decode(html) AS html_s
+  FROM read_parquet('{_WEBTEXT_ORACLE_PATH}/*/*.parquet')
+), parsed AS (
+  SELECT lang,
+         substr(regexp_extract(html_s, ' HTTP/1\\.1" ([0-9]{{3}}) ', 1), 1, 1)
+           || 'xx' AS status_class,
+         CASE lang {region_case} END AS region
+  FROM src
+)
+SELECT sink_id, count(*) AS n FROM (
+  SELECT '{sig["*=*"]}' AS sink_id FROM parsed
+  UNION ALL SELECT '{sig["lang=en"]}' FROM parsed WHERE lang = 'en'
+  UNION ALL SELECT '{sig["status_class=5xx"]}' FROM parsed WHERE status_class = '5xx'
+  UNION ALL SELECT '{sig["region=emea"]}' FROM parsed WHERE region = 'emea'
+) GROUP BY sink_id
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -626,12 +785,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_band_pairs": q_minhash_band_pairs,
     "tpch_q1": q_tpch_q1,
     "topk_per_group": q_topk_per_group,
-    # rows-only (no DuckDB oracle: engine-specific hashing / approximate)
+    "syslog_rfc5424": q_syslog_rfc5424,
+    "syslog_rfc3164": q_syslog_rfc3164,
     "simhash_groups": q_simhash_groups,
+    "webtext_route_counts": q_webtext_route_counts,
+    # rows-only (no DuckDB oracle: engine-specific hashing / approximate)
     "embedding_lsh_candidates": q_embedding_lsh_candidates,
     "ivf_topk": q_ivf_topk,
     "multimodal_features": q_multimodal_features,
-    "webtext_route_counts": q_webtext_route_counts,
 }
 
 ORACLES: dict[str, str] = {
@@ -652,4 +813,8 @@ ORACLES: dict[str, str] = {
     "minhash_band_pairs": SQL_MINHASH_PAIRS,
     "tpch_q1": SQL_TPCH_Q1,
     "topk_per_group": SQL_TOPK_PER_GROUP,
+    "syslog_rfc5424": SQL_SYSLOG_RFC5424,
+    "syslog_rfc3164": SQL_SYSLOG_RFC3164,
+    "simhash_groups": SQL_SIMHASH_GROUPS,
+    "webtext_route_counts": _sql_webtext_route_counts(),
 }

@@ -177,6 +177,42 @@ def simhash(text: Column, shingle_n: int = 2) -> Column:
     )
 
 
+def simhash_md5(text: Column) -> Column:
+    """Engine-agnostic 60-bit SimHash over distinct lowercase words.
+
+    Same bit-voting construction as :func:`simhash` but the per-token
+    hash is md5 (first 15 hex nibbles = 60 bits) instead of xxhash64,
+    so any engine with md5 — DuckDB, Trino, Postgres — computes the
+    IDENTICAL signature; this is the oracle-checkable twin used by the
+    driver gate.  hex -> bit chars via conv(,16,2); votes accumulate in
+    ONE array aggregate (the 64-separate-aggregates form is a codegen
+    bomb, see simhash())."""
+    words = F.array_distinct(F.split(F.lower(text), r"\s+"))
+    bits_of = lambda w: F.slice(  # noqa: E731
+        F.split(F.lpad(F.conv(F.substring(F.md5(w), 1, 15), 16, 2), 60, "0"), ""), 1, 60
+    )
+    votes = F.aggregate(
+        words,
+        F.array_repeat(F.lit(0).cast("long"), 60),
+        lambda acc, w: F.zip_with(
+            acc,
+            F.transform(
+                bits_of(w),
+                lambda c: F.when(c == "1", F.lit(1).cast("long")).otherwise(
+                    F.lit(-1).cast("long")
+                ),
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    return F.aggregate(
+        votes,
+        F.lit(0).cast("long"),
+        lambda acc, v: acc * 2
+        + F.when(v > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")),
+    )
+
+
 def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact-simhash duplicate groups (Hamming distance 0).  For
     distance <= k, band the 64 bits into k+1 chunks and bucket-join

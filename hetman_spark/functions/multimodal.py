@@ -73,32 +73,38 @@ _IMAGE_FEATURES_SCHEMA = (
 def extract_image_features(df: DataFrame) -> DataFrame:
     """mapInPandas over image rows -> typed feature rows.
 
-    Batch shape: the iterator yields one pandas frame per Arrow batch;
-    the blob column stays inside the batch (no per-row Python calls
-    into the JVM).  Real decode replaces _decode_image only.
+    n_bytes/checksum are computed JVM-side (with_media_metadata: length
+    + md5 in codegen) BEFORE the UDF and passed through the Arrow batch
+    untouched — the ONLY per-row Python left is the codec call itself,
+    which a real decoder (Pillow/opencv) is inherently.  Batch shape:
+    one pandas frame per Arrow batch; blobs never cross per-row into
+    the JVM.
     """
+    imgs = df.filter(F.col("kind") == "image")
+    if "n_bytes" not in imgs.columns or "checksum" not in imgs.columns:
+        imgs = with_media_metadata(imgs)
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            dims = pdf.apply(
-                lambda r: _decode_image(r["payload"], r["format"]), axis=1, result_type="expand"
-            )
-            out = pd.DataFrame(
+            # the codec call — the one irreducibly per-row step
+            dims = [
+                _decode_image(p, f)
+                for p, f in zip(pdf["payload"], pdf["format"])
+            ]
+            yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "format": pdf["format"],
-                    "width": dims[0].astype("int32"),
-                    "height": dims[1].astype("int32"),
-                    "channels": dims[2].astype("int32"),
-                    "n_bytes": pdf["payload"].map(len).astype("int64"),
-                    "checksum": pdf["payload"].map(
-                        lambda b: __import__("hashlib").md5(b).hexdigest()
-                    ),
+                    "width": pd.array([d[0] for d in dims], dtype="int32"),
+                    "height": pd.array([d[1] for d in dims], dtype="int32"),
+                    "channels": pd.array([d[2] for d in dims], dtype="int32"),
+                    "n_bytes": pdf["n_bytes"],
+                    "checksum": pdf["checksum"],
                 }
             )
-            yield out
 
-    return df.filter(F.col("kind") == "image").mapInPandas(op, _IMAGE_FEATURES_SCHEMA)
+    cols = ["media_id", "kind", "format", "payload", "n_bytes", "checksum"]
+    return imgs.select(*cols).mapInPandas(op, _IMAGE_FEATURES_SCHEMA)
 
 
 _FRAME_SAMPLE_SCHEMA = "media_id long, frame_idx int, frame_payload binary"
@@ -111,19 +117,36 @@ def sample_frames(df: DataFrame, every_n: int = 10, max_frames: int = 4) -> Data
     byte slices; a real build swaps in pyav/ffmpeg."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
-            ids, idxs, payloads = [], [], []
-            for _, r in pdf.iterrows():
-                blob = r["payload"] or b""
-                n = min(max_frames, max(1, len(blob) // max(every_n, 1)))
-                for i in range(n):
-                    ids.append(r["media_id"])
-                    idxs.append(i * every_n)
-                    start = (i * every_n) % max(len(blob), 1)
-                    payloads.append(bytes(blob[start : start + 16]))
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {"media_id": pd.array([], dtype="int64"),
+                     "frame_idx": pd.array([], dtype="int32"),
+                     "frame_payload": []}
+                )
+                continue
+            payloads_in = [b or b"" for b in pdf["payload"]]
+            # vectorized fan-out arithmetic: frames per row, then a
+            # flat explode index — no iterrows, no per-row append loop
+            lens = np.fromiter((len(b) for b in payloads_in), dtype=np.int64, count=len(pdf))
+            n = np.clip(lens // max(every_n, 1), 1, max_frames)
+            row_of = np.repeat(np.arange(len(pdf)), n)
+            ends = np.cumsum(n)
+            within = np.arange(int(ends[-1])) - np.repeat(ends - n, n)
+            frame_idx = (within * every_n).astype(np.int32)
+            starts = frame_idx % np.maximum(lens[row_of], 1)
+            # the (stubbed) frame decode — the one per-frame step a
+            # real pyav/ffmpeg build also pays
+            frames = [
+                bytes(payloads_in[r][s : s + 16])
+                for r, s in zip(row_of, starts)
+            ]
             yield pd.DataFrame(
-                {"media_id": ids, "frame_idx": pd.array(idxs, dtype="int32"),
-                 "frame_payload": payloads}
+                {"media_id": pdf["media_id"].to_numpy()[row_of],
+                 "frame_idx": frame_idx,
+                 "frame_payload": frames}
             )
 
     return df.filter(F.col("kind") == "video").mapInPandas(op, _FRAME_SAMPLE_SCHEMA)

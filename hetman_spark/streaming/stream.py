@@ -51,21 +51,66 @@ def read_webtext_stream(
     )
 
 
+def kafka_records_to_log_df(records: DataFrame, brokers: str = "", topics: str = "") -> DataFrame:
+    """S5 value-schema adapter: Kafka-source rows -> pipeline rows.
+
+    Pure DataFrame transform, testable WITHOUT the connector jar (the
+    input is any frame with the standard Kafka source columns).  Maps
+    exactly what the reference's ConsumeClaim relays
+    (/root/reference/internal/tailer/kafka.go:36-42): value bytes ->
+    log_line string, message timestamp -> warc_ts; the event-source
+    label string matches GetEventSource's "topics=T|brokers=B" format
+    (kafka.go:89-91).  topic/partition ride along as labels for the
+    tag-merge stage (labels > parsed > add_tags)."""
+    source = (
+        F.lit(f"topics={topics}|brokers={brokers}")
+        if (topics or brokers)
+        else F.concat(F.lit("topics="), F.col("topic"))
+    )
+    return records.select(
+        F.col("value").cast("string").alias("log_line"),
+        F.col("timestamp").alias("warc_ts"),
+        F.create_map(
+            F.lit("source"), source,
+            F.lit("topic"), F.col("topic"),
+            F.lit("partition"), F.col("partition").cast("string"),
+        ).alias("labels"),
+    )
+
+
+def log_df_to_kafka_records(df: DataFrame, topics: list[str], line_col: str = "log_line") -> DataFrame:
+    """F4 sink adapter: pipeline rows -> Kafka producer records.
+
+    One record per (topic x row) with value = the log line — the
+    reference's SendEvents loop (/root/reference/internal/forwarder/
+    kafka.go:37-47: for topic / for item -> ProducerMessage{Topic,
+    Value: item.LogLine}).  Output columns (topic, value) are exactly
+    what .format('kafka') writes; required-acks/retries are writer
+    options (kafka.request.required.acks=-1), not data."""
+    return (
+        df.select(
+            F.explode(F.array(*[F.lit(t) for t in topics])).alias("topic"),
+            F.col(line_col).cast("binary").alias("value"),
+        )
+    )
+
+
 def read_kafka_stream(spark: SparkSession, brokers: str, topics: str) -> DataFrame:
     """S5: Kafka source (connector jar not in this container — raises
-    a clear error instead of a cryptic ClassNotFound)."""
+    a clear error instead of a cryptic ClassNotFound).  The value
+    mapping itself lives in kafka_records_to_log_df (tested jar-free)."""
     try:
-        return (
+        records = (
             spark.readStream.format("kafka")
             .option("kafka.bootstrap.servers", brokers)
             .option("subscribe", topics)
             .load()
-            .selectExpr("CAST(value AS STRING) AS log_line", "timestamp AS warc_ts")
         )
     except Exception as e:  # pragma: no cover - environment-dependent
         raise NotImplementedError(
             "kafka source requires spark-sql-kafka jar on the classpath"
         ) from e
+    return kafka_records_to_log_df(records, brokers=brokers, topics=topics)
 
 
 def streaming_pipeline(
