@@ -27,6 +27,7 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--out", required=True)
     g.add_argument("--rows", type=int, default=60000)
     g.add_argument("--splits", type=int, default=16)
+    g.add_argument("--files-per-split", type=int, default=1)
     g.add_argument("--master", default=None)
 
     r = sub.add_parser("run", help="run the parse->enrich->route pipeline (resumable)")
@@ -41,6 +42,8 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--max-splits", type=int, default=None)
     r.add_argument("--presalt", action="store_true",
                    help="literal pre-enrich salted repartition (for non-broadcastable lookups)")
+    r.add_argument("--reload-config", action="store_true",
+                   help="re-read --config at every batch boundary (SIGHUP-reload analog)")
     r.add_argument("--jvm-parse", action="store_true",
                    help="use pure-JVM regex extraction instead of the pandas UDF")
 
@@ -58,7 +61,25 @@ def main(argv: list[str] | None = None) -> int:
         from hetman_spark.plans.checkpoint import read_manifest
 
         entries = read_manifest(f"{args.out}/_manifest")
-        print(json.dumps({"committed_splits": len(entries), "entries": entries}, indent=2))
+        # aggregate stage counters across committed splits (A3/A4 view:
+        # the manifest is the durable record the OTel counters play)
+        rows_in = sum(e.get("rows_in", 0) for e in entries)
+        rows_parsed = sum(e.get("rows_parsed", 0) for e in entries)
+        routed: dict[str, int] = {}
+        for e in entries:
+            for k, v in (e.get("rows_routed") or {}).items():
+                routed[k] = routed.get(k, 0) + v
+        print(json.dumps({
+            "committed_splits": len(entries),
+            "stage_counts": {
+                "source.rows_in": rows_in,
+                "parse.rows_parsed": rows_parsed,
+                "parse.errors": rows_in - rows_parsed,
+                "route.rows_routed": sum(routed.values()),
+            },
+            "sink_counts": dict(sorted(routed.items())),
+            "entries": entries,
+        }, indent=2))
         return 0
 
     from hetman_spark.session import get_spark
@@ -69,7 +90,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "generate":
         from hetman_spark.sources.webtext import write_webtext
 
-        write_webtext(spark, args.out, args.rows, n_splits=args.splits)
+        write_webtext(spark, args.out, args.rows, n_splits=args.splits,
+                      files_per_split=args.files_per_split)
         print(json.dumps({"cmd": "generate", "rows": args.rows, "out": args.out,
                           "sec": round(time.time() - t0, 2)}))
         return 0
@@ -136,6 +158,7 @@ def main(argv: list[str] | None = None) -> int:
                 max_splits=args.max_splits,
                 use_pandas_udf=not args.jvm_parse,
                 presalt=args.presalt,
+                config_reload_path=args.config if args.reload_config and args.config else None,
             )
             n_splits_done += len(res.splits_processed)
             tot_in += res.rows_in

@@ -96,6 +96,7 @@ def main() -> None:
             "rows": res.rows_in,
             "pages_per_sec": round(res.rows_in / sec, 1),
             "sink_counts": dict(sorted(res.sink_counts.items())),
+            "phase_secs": {k: round(v, 2) for k, v in res.phase_secs.items()},
         }))
     finally:
         shutil.rmtree(scratch, ignore_errors=True)

@@ -50,7 +50,7 @@ def extract_html_fields(html: pd.Series) -> pd.DataFrame:
     return decoded.str.extract(_EXTRACT_RE)
 
 
-def make_full_extract_udf(grok_pattern: str):
+def make_full_extract_udf(grok_pattern: str, include_aux: bool = True):
     """ONE Arrow-batched UDF doing the whole parse stage: decode html,
     extract title/text/log_line AND the grok fields of the embedded
     access-log line in a single combined regex pass per batch.
@@ -63,8 +63,16 @@ def make_full_extract_udf(grok_pattern: str):
     the rows whose embedded line did NOT match the grok pattern
     (template matches, log doesn't) so P6 passthrough still holds.
 
+    include_aux=False drops title and log_line from the RETURNED
+    struct (they are still captured by the same regex pass).  Spark
+    does not push struct-field pruning into a Python UDF, so an unused
+    field still pays Python string assembly + Arrow serialization for
+    every row — ~210 bytes/row here, ~0.8 GB of memory traffic per 4M
+    rows.  The pipeline never emits title/log_line (FIXTURES §5 row
+    shape), so it uses the slim variant.
+
     Returns (udf, field_names) where the struct is
-    title, text, log_line + the grok fields.
+    [title, log_line,] text + the grok fields.
     """
     from hetman_spark.operators.parse import grok_to_regex
 
@@ -75,7 +83,8 @@ def make_full_extract_udf(grok_pattern: str):
         r"(?s)^<html><head><title>(?P<title>.*?)</title></head>"
         r"<body><p>(?P<text>.*?)</p><!--log: (?P<log_line>" + inner + r") --></body></html>$"
     )
-    all_fields = ["title", "text", "log_line", *grok_fields]
+    aux = ["title", "log_line"] if include_aux else []
+    all_fields = [*aux, "text", *grok_fields]
     ret_type = T.StructType([T.StructField(f, T.StringType()) for f in all_fields])
 
     @F.pandas_udf(ret_type)
@@ -88,8 +97,9 @@ def make_full_extract_udf(grok_pattern: str):
             # not parse (P6: keep title/text, null grok fields)
             fallback = decoded[missed].str.extract(_EXTRACT_RE)
             for c in ("title", "text", "log_line"):
-                out.loc[missed, c] = fallback[c]
-        return out
+                if c == "text" or include_aux:
+                    out.loc[missed, c] = fallback[c]
+        return out[all_fields]
 
     return full_extract, all_fields
 

@@ -65,29 +65,40 @@ class PipelineResult:
     # telemetry/metrics/metrics.go:77-113).  Keys: source.rows_in,
     # parse.rows_parsed, parse.errors, route.rows_routed.
     stage_counts: dict[str, int] = field(default_factory=dict)
+    # wall-clock per phase (seconds, summed over batches): the write
+    # job vs the driver-serial tail (lineage metadata reads + manifest
+    # commit) — what the bench reads to attribute non-scaling time.
+    phase_secs: dict[str, float] = field(default_factory=dict)
 
 
 def build_parsed(
     df: DataFrame,
     modifier: ModifierConfig | None = None,
     use_pandas_udf: bool = True,
+    keep_aux: bool = False,
 ) -> DataFrame:
     """parse + modify (narrow stages only — no shuffle).
 
     Produces columns: url, warc_ts, lang, split_id, extracted_text,
-    title, log_line, parsed (map), parse_ok, status_class.
+    parsed (map), parse_ok, status_class — plus title and log_line
+    when keep_aux=True.  The pipeline row shape (FIXTURES §5) never
+    includes title/log_line, and a pandas UDF pays Arrow serialization
+    for every returned field whether or not Catalyst prunes it later,
+    so the default skips them (~210 B/row of Arrow traffic saved).
     """
     # --- parse stage (vectorized; no per-row Python) ---
     log_fields = LOG_FIELDS
     if use_pandas_udf:
-        # single Arrow round-trip: html -> title/text/log_line + grok
-        # fields in one combined regex pass (see make_full_extract_udf)
-        full_udf, _ = make_full_extract_udf(NGINX_PATTERN)
+        # single Arrow round-trip: html -> text [+aux] + grok fields
+        # in one combined regex pass (see make_full_extract_udf)
+        full_udf, _ = make_full_extract_udf(NGINX_PATTERN, include_aux=keep_aux)
+        df = df.withColumn("_x", full_udf(F.col("html")))
+        if keep_aux:
+            df = df.withColumn("title", F.col("_x.title")).withColumn(
+                "log_line", F.col("_x.log_line")
+            )
         df = (
-            df.withColumn("_x", full_udf(F.col("html")))
-            .withColumn("title", F.col("_x.title"))
-            .withColumn("extracted_text", F.col("_x.text"))
-            .withColumn("log_line", F.col("_x.log_line"))
+            df.withColumn("extracted_text", F.col("_x.text"))
             .withColumn(
                 "_log",
                 F.when(
@@ -100,6 +111,8 @@ def build_parsed(
     else:
         df = with_html_fields(df, "html", jvm=True)
         df = df.withColumn("_log", parse_grok(F.col("log_line"), NGINX_PATTERN))
+        if not keep_aux:
+            df = df.drop("title", "log_line")
     # parsed map (hetman's Parsed map[string]string); null-safe (P6)
     df = (
         df.withColumn(
@@ -208,6 +221,19 @@ def _discover_splits(spark: SparkSession, src: DataFrame, input_path: str) -> li
         ]
         if splits:
             return sorted(splits)
+    # Fallback: a distinct() scan of the split column.  Fine for a
+    # mislaid small layout, but at 100 TB this is a full-column scan —
+    # warn loudly so a production deployment notices and fixes its
+    # layout (partition by split_id, or serve the listing from table
+    # metadata) instead of silently paying it every batch.
+    import warnings
+
+    warnings.warn(
+        f"input {input_path!r} is not partitioned by split_id; "
+        "falling back to a distinct() scan for split discovery — "
+        "partition the input (or use Iceberg metadata) at scale",
+        stacklevel=2,
+    )
     return sorted(r["split_id"] for r in src.select("split_id").distinct().collect())
 
 
@@ -310,6 +336,7 @@ def run_pipeline(
     use_pandas_udf: bool = True,
     presalt: bool = False,
     labeled_input_path: str | None = None,
+    config_reload_path: str | None = None,
 ) -> PipelineResult:
     """Resumable driver loop.
 
@@ -356,6 +383,28 @@ def run_pipeline(
 
     for i in range(0, len(todo), splits_per_commit):
         batch = todo[i : i + splits_per_commit]
+
+        # Config hot-reload between batches — the batch twin of the
+        # reference's SIGHUP loop (/root/reference/internal/cmd/
+        # agent.go:106-142: on reload, workflows restart with the new
+        # config).  Batch boundaries are the safe restart points: the
+        # previous batch committed under the old config, this one runs
+        # entirely under the new.  A broken config file keeps the old
+        # one (reference logs and keeps running).
+        if config_reload_path:
+            try:
+                from hetman_spark.config_yaml import load_config
+
+                _gc, specs = load_config(config_reload_path)
+                spec = next(
+                    (s for s in specs if s.input_path == input_path), specs[0]
+                )
+                if spec.sinks:
+                    sinks = spec.sinks
+                    routes = routes_df(spark, sinks)
+                modifier = spec.modifier
+            except Exception:
+                pass  # keep the previous config, as the reference does
         # manifest anti-join == partition-pruned isin filter on the
         # partition column (split_id) — Catalyst prunes at the source.
         df = src.filter(F.col("split_id").isin(batch))
@@ -413,12 +462,17 @@ def run_pipeline(
         )
         obs_route = Observation()
         routed = routed.observe(obs_route, F.count(F.lit(1)).alias("rows_routed"))
+        import time as _time
+
+        _t0 = _time.time()
         (
             routed.write.mode("overwrite")
             .option("compression", "zstd")
             .partitionBy("sink_id", "split_id")
             .parquet(data_dir)
         )
+        _t1 = _time.time()
+        result.phase_secs["write_job"] = result.phase_secs.get("write_job", 0.0) + (_t1 - _t0)
         p_metrics = obs_parse.get
         r_metrics = obs_route.get
         for key, val in (
@@ -465,6 +519,8 @@ def run_pipeline(
             for s in batch:
                 in_counts[s] = (rows_in_tmp.get(s, 0), rows_p_tmp.get(s, 0))
 
+        _t2 = _time.time()
+        result.phase_secs["lineage"] = result.phase_secs.get("lineage", 0.0) + (_t2 - _t1)
         _write_lineage(lineage_dir, batch, in_counts, per_split_routes)
 
         # manifest commit — strictly after all sink writes (A5).
@@ -482,6 +538,9 @@ def run_pipeline(
                 },
             )
 
+        result.phase_secs["commit"] = result.phase_secs.get("commit", 0.0) + (
+            _time.time() - _t2
+        )
         result.splits_processed.extend(batch)
         for s in batch:
             result.rows_in += in_counts.get(s, (0, 0))[0]

@@ -165,6 +165,7 @@ def write_webtext(
     n_rows: int,
     n_domains: int = 100,
     n_splits: int = 16,
+    files_per_split: int = 1,
 ) -> None:
     """Materialize the webtext table as parquet partitioned by split_id
     (the checkpoint/resume unit — plays the tailed file in hetman's
@@ -172,15 +173,23 @@ def write_webtext(
 
     partitionBy(split_id) makes resume's manifest anti-join a real
     partition-pruning filter, not a row scan (SURVEY.md §4).
+
+    files_per_split: 1 gives the minimal-file layout (hash repartition
+    on split_id — one task per split dir); >1 range-partitions on
+    (split_id, url) so each split dir holds ~files_per_split files,
+    which is what a real corpus looks like and what scan-task
+    granularity needs (16 one-file splits = at most 8-16 scan tasks;
+    a 4N-core run then idles half its cores through the parse stage).
+    Either way tasks stay split-aligned — never the tasks x splits
+    sliver explosion (measured 4096 files for 64x64).
     """
     df = generate_webtext(spark, n_rows, n_domains, n_splits)
-    # align tasks to split dirs: without this every generator task
-    # writes a sliver into every split (tasks x splits tiny files —
-    # measured 4096 files for 64x64, which then dominates downstream
-    # scan/listing time).  One shuffle -> one file per split.
+    if files_per_split > 1:
+        df = df.repartitionByRange(n_splits * files_per_split, "split_id", "url")
+    else:
+        df = df.repartition(n_splits, "split_id")
     (
-        df.repartition(n_splits, "split_id")
-        .write.mode("overwrite")
+        df.write.mode("overwrite")
         .option("compression", "zstd")
         .partitionBy("split_id")
         .parquet(path)
