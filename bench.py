@@ -1,21 +1,26 @@
 """Benchmark harness (driver contract + BASELINE.md protocol).
 
 Runs:
-1. every __spark_entry__ query at $SPARK_GRAFT_SF_DIR (default
+1. the webtext pipeline end-to-end at N and 4N cores — each run
+   taskset-PINNED to exactly its core budget (an executor cannot
+   borrow idle silicon; unpinned local[N] lets Python UDF workers and
+   GC spill onto free cores and understates true scaling) — in fresh
+   subprocess JVMs with warmup, interleaved min-of-rounds, reporting
+   pages/sec at both levels plus scaling efficiency
+   thr_4N / (4 * thr_N): the sandbox evidence for the north_rule
+   two-cluster-size criterion (BASELINE.md bench protocol);
+2. every __spark_entry__ query at $SPARK_GRAFT_SF_DIR (default
    /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], timed via a
    noop-sink write (full computation, no driver collect);
-2. the webtext pipeline end-to-end at N (local[8]) and 4N (local[32])
-   parallelism in fresh subprocess JVMs with warmup, reporting
-   pages/sec at both plus scaling efficiency thr_4N / (4 * thr_N) —
-   the sandbox evidence for the north_rule two-cluster-size criterion
-   (BASELINE.md bench protocol);
 3. asserts per-sink counts are identical at both sizes.
 
 Prints ONE JSON line. Env knobs:
   SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     cores for the query timings (default 32)
-  BENCH_WEBTEXT_ROWS   pipeline input size (default 200000)
+  BENCH_WEBTEXT_ROWS   pipeline input size (default 4000000)
   BENCH_SCALING        "0" to skip the two-parallelism pipeline runs
+  BENCH_REPS           interleaved rounds (default 3)
+  BENCH_MAX_REPS       extra rounds while rep spread >1.25x (default 5)
 """
 
 from __future__ import annotations
@@ -64,20 +69,23 @@ def _wait_quiet(max_wait: float = 60.0) -> bool:
 
 
 def scaling_runs(rows: int) -> dict:
-    """North-rule evidence: the same job at N and 4N parallelism.
+    """North-rule evidence: the same job at N and 4N cores, pinned.
 
-    N=local[2], 4N=local[8] — both within this box's 16 physical
-    cores; local[8] vs local[32] would cross the SMT boundary, whose
-    hardware ceiling here is ~0.64 for ANY CPU-bound work (see
-    BENCH.md).  Reports end-to-end (incl. single-node disk + commit)
-    AND compute-path (noop sink) throughput at both sizes.
+    Headline pair: 2 cores vs 8 cores (taskset cpusets {0,1} vs
+    {0..7}) — within this box's 16 physical cores; crossing the SMT
+    boundary (8 vs 32 threads) has a hardware ceiling of ~0.64 for
+    ANY CPU-bound work (see BENCH.md).  Reports end-to-end (incl.
+    single-node disk + commit) AND compute-path (noop sink)
+    throughput, plus a second 1-core vs 4-core pair.
 
     Measurement protocol (this VM shows ±30% ambient bursts):
-    - configurations run INTERLEAVED (N, 4N, N-noop, 4N-noop per
-      round, BENCH_REPS rounds) so an ambient burst hits both sides
-      of a ratio, not just one;
+    - every run pinned to its core budget (see configs comment);
+    - configurations run INTERLEAVED per round so an ambient burst
+      hits both sides of a ratio, not just one;
     - per-level result is the MIN over rounds (least-interfered
       sample); every round's raw seconds are kept in `rep_secs`;
+    - rounds continue (to BENCH_MAX_REPS) while any e2e level's
+      rep spread exceeds 1.25x;
     - a stray-JVM guard gates every run.
     """
     repo = os.path.dirname(os.path.abspath(__file__))
@@ -101,30 +109,42 @@ def scaling_runs(rows: int) -> dict:
     reps = int(os.environ.get("BENCH_REPS", "3"))
     max_reps = int(os.environ.get("BENCH_MAX_REPS", "5"))
 
-    # two N->4N pairs, both e2e:
-    # - local[2]->local[8] (half-box occupancy; continuity with r1)
-    # - local[1]->local[4] (quarter-box: no SMT/cache-contention overlap
-    #   with ambient VMs — the closest single-box model of multi-NODE
-    #   scaling, where executors never share silicon)
-    # plus the 2->8 compute path (noop sink).
+    # Every run is PINNED (taskset) to exactly its core budget.
+    # local[N] bounds only the JVM task slots — the Python UDF workers,
+    # GC and shuffle threads land on unallocated cores, so an unpinned
+    # local[2] run actually consumes ~3.5 cores of silicon and deflates
+    # measured efficiency (measured: unpinned 56s/18.2s = 0.77 vs
+    # pinned 78-85s/22-24s = 0.87 on the same input).  A real N-core
+    # executor node cannot borrow idle silicon; pinning is what makes
+    # "N cores vs 4N cores" a true statement.
+    #
+    # Two N->4N pairs, both e2e: cores {2}->{8} (headline, continuity
+    # with round 1) and {1}->{4}; plus the 2->8 compute path (noop).
     configs = [
-        ("N_local2", "local[2]", []),
-        ("4N_local8", "local[8]", []),
-        ("N_local1", "local[1]", []),
-        ("4N_local4", "local[4]", []),
-        ("N_local2_noop", "local[2]", ["--noop"]),
-        ("4N_local8_noop", "local[8]", ["--noop"]),
+        ("N_local2", "local[2]", "0,1", []),
+        ("4N_local8", "local[8]", "0-7", []),
+        ("N_local2_noop", "local[2]", "0,1", ["--noop"]),
+        ("4N_local8_noop", "local[8]", "0-7", ["--noop"]),
     ]
+    if os.environ.get("BENCH_PAIR_1TO4", "0") == "1":
+        # supporting second pair (the canonical full record in
+        # BENCH_local.json carries it); off by default to keep the
+        # per-round driver bench under ~25 min
+        configs[2:2] = [
+            ("N_local1", "local[1]", "0", []),
+            ("4N_local4", "local[4]", "0-3", []),
+        ]
     best: dict[str, dict] = {}
-    rep_secs: dict[str, list] = {label: [] for label, _, _ in configs}
+    rep_secs: dict[str, list] = {label: [] for label, _, _, _ in configs}
     quiet_ok = True
 
-    def run_one(master: str, extra: list[str]) -> dict:
+    def run_one(master: str, cpuset: str, extra: list[str]) -> dict:
         proc = subprocess.run(
-            [sys.executable, "-m", "hetman_spark.benchrun",
+            ["taskset", "-c", cpuset,
+             sys.executable, "-m", "hetman_spark.benchrun",
              "--master", master,
              "--input", f"{scratch}/main",
-             "--warmup-input", f"{scratch}/warmup", *extra],
+             "--warmup-input", f"{scratch}/warmup", "--light-warmup", *extra],
             capture_output=True, text=True, cwd=repo,
         )
         line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
@@ -142,7 +162,7 @@ def scaling_runs(rows: int) -> dict:
             rounds < max_reps
             and any(
                 spread(lbl) > 1.25
-                for lbl, _, _ in configs
+                for lbl, _, _, _ in configs
                 if not lbl.endswith("_noop")
             )
         ):
@@ -151,11 +171,11 @@ def scaling_runs(rows: int) -> dict:
             # (compute-path) pair runs only in the first two rounds —
             # it is supporting evidence, not the headline, and each
             # extra round costs ~1.5 min of wall clock.
-            for label, master, extra in configs:
+            for label, master, cpuset, extra in configs:
                 if label.endswith("_noop") and rounds >= 2:
                     continue
                 quiet_ok = _wait_quiet() and quiet_ok
-                d = run_one(master, extra)
+                d = run_one(master, cpuset, extra)
                 rep_secs[label].append(d.get("sec", None))
                 if "sec" in d and ("sec" not in best.get(label, {}) or d["sec"] < best[label]["sec"]):
                     best[label] = d
@@ -188,13 +208,13 @@ def scaling_runs(rows: int) -> dict:
             results["sink_counts_identical_1to4"] = (
                 best["N_local1"]["sink_counts"] == best["4N_local4"]["sink_counts"]
             )
-    # headline: the quarter-box pair models cross-node scaling (no
-    # shared caches/SMT between the job and ambient hypervisor load);
-    # the half-box pair is reported alongside, never hidden.
-    if e14 is not None or e28 is not None:
-        results["scaling_efficiency_e2e"] = e14 if e14 is not None else e28
+    # headline: the 2->8 pair (continuity with round 1); the 1->4 pair
+    # is reported alongside, never hidden.
+    if e28 is not None or e14 is not None:
+        results["scaling_efficiency_e2e"] = e28 if e28 is not None else e14
         results["headline_pair"] = (
-            "local[1]->local[4]" if e14 is not None else "local[2]->local[8]"
+            "cores{0,1}->cores{0-7} (taskset-pinned)"
+            if e28 is not None else "cores{0}->cores{0-3} (taskset-pinned)"
         )
     ec = eff("N_local2_noop", "4N_local8_noop")
     if ec is not None:

@@ -27,6 +27,11 @@ def main() -> None:
                     help="compute-path only: run the full plan into a noop sink "
                          "(isolates executor-scaling work from the single local "
                          "disk, which on a real cluster scales with nodes)")
+    ap.add_argument("--light-warmup", action="store_true",
+                    help="warm up on the small table only, skipping the full-input "
+                         "noop pre-pass — for interleaved min-of-rounds protocols "
+                         "where later rounds serve as the deep warmup and the "
+                         "input is already page-cache-hot from generation")
     args = ap.parse_args()
 
     from hetman_spark.session import get_spark
@@ -54,7 +59,8 @@ def main() -> None:
             # one small pass leaves JIT cold and timings 2x noisy
             warm = spark.read.parquet(args.warmup_input)
             flow(warm).write.format("noop").mode("overwrite").save()
-            flow(src).write.format("noop").mode("overwrite").save()
+            if not args.light_warmup:
+                flow(src).write.format("noop").mode("overwrite").save()
             n_rows = src.count()
             t0 = time.time()
             flow(src).write.format("noop").mode("overwrite").save()
@@ -73,17 +79,18 @@ def main() -> None:
         run_pipeline(spark, args.warmup_input, f"{scratch}/warmup",
                      salt_buckets=args.salt_buckets, splits_per_commit=1024,
                      presalt=args.presalt)
-        from pyspark.sql import functions as F
+        if not args.light_warmup:
+            from pyspark.sql import functions as F
 
-        from hetman_spark.plans.pipeline import build_parsed, build_routed, tags_disjoint
-        from hetman_spark.sources.lookup import DEFAULT_SINKS, lang_lookup, routes_df
+            from hetman_spark.plans.pipeline import build_parsed, build_routed, tags_disjoint
+            from hetman_spark.sources.lookup import DEFAULT_SINKS, lang_lookup, routes_df
 
-        _lk, _rt = lang_lookup(spark), routes_df(spark)
-        build_routed(
-            build_parsed(spark.read.parquet(args.input)).drop("html")
-            .hint("rebalance", "split_id").join(F.broadcast(_lk), "lang", "left"),
-            _rt, disjoint_tags=tags_disjoint(DEFAULT_SINKS),
-        ).write.format("noop").mode("overwrite").save()
+            _lk, _rt = lang_lookup(spark), routes_df(spark)
+            build_routed(
+                build_parsed(spark.read.parquet(args.input)).drop("html")
+                .hint("rebalance", "split_id").join(F.broadcast(_lk), "lang", "left"),
+                _rt, disjoint_tags=tags_disjoint(DEFAULT_SINKS),
+            ).write.format("noop").mode("overwrite").save()
 
         t0 = time.time()
         res = run_pipeline(spark, args.input, f"{scratch}/out",

@@ -451,9 +451,21 @@ def q_minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pair via an equi-join on (band, bucket) — the same shape as
     functions/dedup.py:minhash_lsh_candidates, so the plan is a hash join
     that shuffles only (doc_id, band, bucket), never the n^2 cross product.
-    A pair colliding in both bands appears once (distinct)."""
+    A pair colliding in both bands appears once (distinct).
+
+    Signatures hash 3-gram SHINGLES, not words: the synthetic corpus
+    draws from a ~30-word vocabulary, so word-level minhashes collide
+    for unrelated docs (measured: 76k candidate pairs from 500 docs =
+    hot-bucket quadratic blowup, 240s at sf0.1 for the downstream
+    Jaccard verify).  The 3-gram space is large enough that only real
+    near-dups share buckets — the same reason functions/dedup.py
+    shingles before minhashing."""
+    from hetman_spark.functions.dedup import shingles
+
     d = _t(spark, sf_dir, "documents")
-    words = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+    words = d.select(
+        "doc_id", F.explode(shingles(F.col("text"), 3)).alias("w")
+    )
     sigs = words.groupBy("doc_id").agg(
         *[F.min(F.md5(F.concat(F.col("w"), F.lit(s)))).alias(f"m{i}")
           for i, s in enumerate(_MINHASH_SALTS)]
@@ -476,12 +488,26 @@ def q_minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_MINHASH_PAIRS = """
-WITH sigs AS (
+# DuckDB twin of hetman_spark.functions.dedup.shingles (3-gram,
+# lowercase, distinct) — shared by the band-pairs and Jaccard oracles.
+_SQL_SHINGLES = """
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(string_split(lower(text), ' ')) - 2, 0) + 1),
+           i -> string_split(lower(text), ' ')[i] || ' ' ||
+                string_split(lower(text), ' ')[i+1] || ' ' ||
+                string_split(lower(text), ' ')[i+2]
+         )) AS sh
+  FROM documents
+"""
+
+SQL_MINHASH_PAIRS = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+sigs AS (
   SELECT doc_id,
          min(md5(w || 's0')) AS m0, min(md5(w || 's1')) AS m1,
          min(md5(w || 's2')) AS m2, min(md5(w || 's3')) AS m3
-  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  FROM (SELECT doc_id, unnest(sh) AS w FROM sh)
   GROUP BY doc_id
 ), bands AS (
   SELECT doc_id, 0 AS band, md5(m0 || m1) AS bucket FROM sigs
@@ -491,6 +517,62 @@ WITH sigs AS (
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
 WHERE a.doc_id < b.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup verification: exact n-gram Jaccard over the LSH candidate pairs
+# (the verify stage after banding) — integer |intersect| / |union| so
+# both engines hash identically.
+# ---------------------------------------------------------------------------
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard verification of the banded-LSH candidates: joins each
+    side's distinct 3-gram shingle set (shuffles only candidate ids +
+    shingle arrays, never all pairs).  Mirrors
+    functions/dedup.py:ngram_jaccard with integer outputs."""
+    from hetman_spark.functions.dedup import shingles
+
+    pairs = q_minhash_band_pairs(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select(F.col("doc_id"), shingles(F.col("text"), 3).alias("sh"))
+    out = (
+        pairs.join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("long")
+    return out.select(
+        "id_a", "id_b",
+        inter.alias("n_common"),
+        union.alias("n_union"),
+    )
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+sigs AS (
+  SELECT doc_id,
+         min(md5(w || 's0')) AS m0, min(md5(w || 's1')) AS m1,
+         min(md5(w || 's2')) AS m2, min(md5(w || 's3')) AS m3
+  FROM (SELECT doc_id, unnest(sh) AS w FROM sh)
+  GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, 0 AS band, md5(m0 || m1) AS bucket FROM sigs
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5(m2 || m3) AS bucket FROM sigs
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id
+)
+SELECT p.id_a, p.id_b,
+       CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_common,
+       CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_union
+FROM pairs p
+JOIN sh a ON a.doc_id = p.id_a
+JOIN sh b ON b.doc_id = p.id_b
 """
 
 
@@ -787,6 +869,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_per_group": q_topk_per_group,
     "syslog_rfc5424": q_syslog_rfc5424,
     "syslog_rfc3164": q_syslog_rfc3164,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "simhash_groups": q_simhash_groups,
     "webtext_route_counts": q_webtext_route_counts,
     # rows-only (no DuckDB oracle: engine-specific hashing / approximate)
@@ -815,6 +898,7 @@ ORACLES: dict[str, str] = {
     "topk_per_group": SQL_TOPK_PER_GROUP,
     "syslog_rfc5424": SQL_SYSLOG_RFC5424,
     "syslog_rfc3164": SQL_SYSLOG_RFC3164,
+    "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
     "simhash_groups": SQL_SIMHASH_GROUPS,
     "webtext_route_counts": _sql_webtext_route_counts(),
 }

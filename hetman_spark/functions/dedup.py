@@ -40,14 +40,19 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 def shingles(text: Column, n: int = 3) -> Column:
     """Word n-gram shingle array (distinct), JVM-side: split -> sliding
-    windows via transform over an index sequence."""
+    windows via transform over an index sequence.
+
+    Texts shorter than n words yield an EMPTY array — guarded
+    explicitly because Spark's sequence(0, -1) is a descending
+    sequence [0, -1], not empty, which would fabricate shingles."""
     words = F.split(F.lower(text), r"\s+")
-    k = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), k - 1),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-        )
+    k = F.size(words) - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+    return F.when(k > 0, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
     )
 
 
@@ -72,6 +77,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
@@ -79,6 +85,13 @@ def minhash_lsh_candidates(
     keys -> self-join on the band key.  The shuffle carries only
     (band_hash, id); texts never move.  Pairs are deduped (a<b) and
     distinct across bands.
+
+    max_bucket_size: buckets larger than this are DROPPED before the
+    self-join (left_semi against the under-cap bucket list).  A bucket
+    of k members emits k(k-1)/2 pairs; one degenerate hot bucket
+    (boilerplate, empty docs, tiny shared vocab) turns the join
+    quadratic at corpus scale, and a bucket that 1000+ documents share
+    carries no near-dup signal anyway.  None disables the cap.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signature(F.col(text_col), num_hashes, shingle_n)
@@ -104,6 +117,15 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    if max_bucket_size is not None:
+        ok_buckets = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") <= max_bucket_size)
+            .select("band", "bucket")
+        )
+        banded = banded.join(ok_buckets, ["band", "bucket"], "left_semi")
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -230,6 +252,7 @@ def embedding_neardup_candidates(
     id_col: str = "vec_id",
     planes: int = 12,
     seed: int = 42,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Near-duplicate candidates over an embedding column via
     random-hyperplane LSH: sign pattern of `planes` fixed pseudo-random
@@ -257,6 +280,17 @@ def embedding_neardup_candidates(
 
     bucket = F.concat(*[plane_sign(p) for p in range(planes)])
     bucketed = df.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
+    if max_bucket_size is not None:
+        # hot-bucket cap: a degenerate bucket (e.g. zero vectors, or a
+        # hyperplane set that fails to split a dense cluster) would
+        # emit k^2/2 pairs — drop buckets too large to be informative
+        ok = (
+            bucketed.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") <= max_bucket_size)
+            .select("bucket")
+        )
+        bucketed = bucketed.join(ok, "bucket", "left_semi")
     left, right = bucketed.alias("l"), bucketed.alias("r")
     return (
         left.join(right, "bucket")

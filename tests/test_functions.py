@@ -134,3 +134,26 @@ def test_multimodal_plumbing(spark):
     frames = sample_frames(media).collect()
     assert len(frames) > 0
     assert all(len(r["frame_payload"]) <= 16 for r in frames)
+
+def test_minhash_hot_bucket_cap(spark):
+    """A bucket larger than max_bucket_size is dropped before the
+    self-join (one degenerate bucket is otherwise k^2/2 pairs)."""
+    rows = [(i, "identical boilerplate text repeated across the corpus pages", "en")
+            for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    # identical docs share every band bucket -> bucket size 10
+    uncapped = minhash_lsh_candidates(df, max_bucket_size=None)
+    assert uncapped.count() == 10 * 9 // 2
+    capped = minhash_lsh_candidates(df, max_bucket_size=5)
+    assert capped.count() == 0
+
+
+def test_shingles_short_text_empty(spark):
+    """Texts shorter than n words must yield an EMPTY shingle set
+    (Spark's sequence(0,-1) is descending, not empty — guarded)."""
+    df = spark.createDataFrame([(1, "two words"), (2, "one two three")],
+                               "doc_id long, text string")
+    out = {r["doc_id"]: r["sh"] for r in
+           df.select("doc_id", shingles(F.col("text"), 3).alias("sh")).collect()}
+    assert out[1] == []
+    assert out[2] == ["one two three"]
