@@ -766,22 +766,113 @@ FROM sigs GROUP BY simhash
 
 
 # ---------------------------------------------------------------------------
-# Rows-only queries (no SQL oracle: engine-specific hashing / approximate)
+# ANN with integer-exact arithmetic: embeddings quantized (floor(x*1000)
+# as BIGINT), hyperplanes md5-derived integers — cell assignment, LSH
+# buckets and similarity ranks are bit-identical across engines (float
+# dot products near a sign boundary are NOT; see similarity.py).
 # ---------------------------------------------------------------------------
+
+_QSCALE = 1000
+
+
+def _sql_quantized(vec: str) -> str:
+    return (
+        f"list_transform(CAST({vec} AS DOUBLE[]), "
+        f"x -> CAST(floor(x * {_QSCALE}) AS BIGINT))"
+    )
+
+
+def _sql_cell(planes: int, seed: int = 42, qv: str = "vq") -> str:
+    """DuckDB twin of similarity.hyperplane_code_int over a quantized
+    list column `qv`."""
+    terms = []
+    for p in range(planes):
+        comp = (
+            f"((CAST(('0x' || substr(md5('{seed}-{p}-' || CAST(d AS VARCHAR)), 1, 6)) "
+            f"AS BIGINT) % 2001) - 1000)"
+        )
+        dot = (
+            f"CAST(list_sum(list_transform(range(0, len({qv})), "
+            f"d -> {qv}[d+1] * {comp})) AS BIGINT)"
+        )
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN CAST({1 << p} AS BIGINT) ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
 
 
 def q_embedding_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hetman_spark.functions.dedup import embedding_neardup_candidates
+    """Hyperplane-LSH near-dup candidate pairs with the engine-agnostic
+    integer bucketing (the xxhash64 float library variant
+    functions/dedup.py:embedding_neardup_candidates stays the default;
+    this entry is its oracle-checkable twin — same bucketed equi-join
+    shape, never all-pairs)."""
+    from hetman_spark.functions.similarity import hyperplane_code_int
 
-    return embedding_neardup_candidates(_t(spark, sf_dir, "embeddings"))
+    e = _t(spark, sf_dir, "embeddings")
+    dim = e.select(F.size("embedding")).first()[0]
+    bucketed = e.select(
+        F.col("vec_id").alias("id"),
+        hyperplane_code_int(F.col("embedding"), planes=12, dim=dim).alias("bucket"),
+    )
+    a, b = bucketed.alias("l"), bucketed.alias("r")
+    return (
+        a.join(b, "bucket")
+        .where(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+
+
+SQL_EMBEDDING_LSH = f"""
+WITH qe AS (
+  SELECT vec_id, {_sql_quantized("embedding")} AS vq FROM embeddings
+), bucketed AS (
+  SELECT vec_id AS id, {_sql_cell(12)} AS bucket FROM qe
+)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b
+FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket
+WHERE a.id < b.id
+"""
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hetman_spark.functions.similarity import ivf_topk
+    """IVF probe, integer-exact: cells + quantized-dot ranking (see
+    similarity.ivf_topk_quantized; the float-cosine ivf_topk is the
+    full-precision library path)."""
+    from hetman_spark.functions.similarity import ivf_topk_quantized
 
     e = _t(spark, sf_dir, "embeddings")
+    dim = e.select(F.size("embedding")).first()[0]
     queries = e.orderBy("vec_id").limit(3)
-    return ivf_topk(e, queries, k=5).select("query_id", "neighbor_id", "rank")
+    return ivf_topk_quantized(e, queries, k=5, dim=dim).select(
+        "query_id", "neighbor_id", "dot_q", "rank"
+    )
+
+
+SQL_IVF_TOPK = f"""
+WITH qe AS (
+  SELECT vec_id, {_sql_quantized("embedding")} AS vq FROM embeddings
+), cells AS (
+  SELECT vec_id, vq, {_sql_cell(8)} AS cell FROM qe
+), queries AS (
+  SELECT * FROM cells ORDER BY vec_id LIMIT 3
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(range(0, len(c.vq)),
+              d -> c.vq[d+1] * q.vq[d+1])) AS BIGINT) AS dot_q
+  FROM cells c JOIN queries q ON c.cell = q.cell AND c.vec_id != q.vec_id
+)
+SELECT query_id, neighbor_id, dot_q, rank FROM (
+  SELECT query_id, neighbor_id, dot_q,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dot_q DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rows-only queries (no SQL oracle: engine-specific hashing / approximate)
+# ---------------------------------------------------------------------------
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -872,9 +963,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "simhash_groups": q_simhash_groups,
     "webtext_route_counts": q_webtext_route_counts,
-    # rows-only (no DuckDB oracle: engine-specific hashing / approximate)
     "embedding_lsh_candidates": q_embedding_lsh_candidates,
     "ivf_topk": q_ivf_topk,
+    # rows-only (no DuckDB oracle: stubbed codecs, binary payloads)
     "multimodal_features": q_multimodal_features,
 }
 
@@ -901,4 +992,6 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
     "simhash_groups": SQL_SIMHASH_GROUPS,
     "webtext_route_counts": _sql_webtext_route_counts(),
+    "embedding_lsh_candidates": SQL_EMBEDDING_LSH,
+    "ivf_topk": SQL_IVF_TOPK,
 }

@@ -139,6 +139,132 @@ def ivf_topk(
     )
 
 
+def quantize_vec(vec: Column, scale: int = 1000) -> Column:
+    """array<float> -> array<long> via floor(x*scale): the int8/int16
+    quantization trick of production ANN indexes, used here to make
+    similarity arithmetic EXACT across engines (float summation order
+    differs between engines; integer sums cannot).  floor, not cast —
+    DuckDB CAST(double AS BIGINT) rounds half-even while Spark
+    truncates."""
+    return F.transform(
+        vec.cast("array<double>"), lambda x: F.floor(x * scale).cast("long")
+    )
+
+
+def _md5_component(salt: str, d: Column) -> Column:
+    """Deterministic pseudo-random integer in [-1000, 1000] derived
+    from md5 — computable identically in any engine with md5 (the
+    xxhash64 variant in hyperplane_code is Spark-only)."""
+    h6 = F.substring(F.md5(F.concat(F.lit(salt), d.cast("string"))), 1, 6)
+    return F.pmod(F.conv(h6, 16, 10).cast("long"), F.lit(2001)) - F.lit(1000)
+
+
+def _md5_component_py(salt: str, d: int) -> int:
+    """Driver-side twin of _md5_component — identical derivation, so
+    precomputed literal planes equal the per-row expression."""
+    import hashlib
+
+    h6 = hashlib.md5(f"{salt}{d}".encode()).hexdigest()[:6]
+    return int(h6, 16) % 2001 - 1000
+
+
+def hyperplane_code_int(
+    vec: Column, planes: int = 8, seed: int = 42, dim: int | None = None
+) -> Column:
+    """Engine-agnostic IVF/LSH cell id: sign pattern of md5-derived
+    integer hyperplanes over the QUANTIZED vector.  All arithmetic is
+    BIGINT, so the cell assignment is bit-identical in Spark and
+    DuckDB — no float sign-boundary risk (a dot product near zero
+    must not flip buckets between engines).
+
+    The plane matrix is a CONSTANT: pass `dim` to precompute it
+    driver-side as literal arrays (no per-row md5 — planes×dim md5
+    calls per row otherwise; at corpus scale the plane matrix is the
+    thing you broadcast, not recompute).  Without dim, falls back to
+    per-row derivation for variable-width vectors."""
+    qv = quantize_vec(vec)
+
+    def comps(p: int) -> Column:
+        if dim is not None:
+            return F.array(
+                *[F.lit(_md5_component_py(f"{seed}-{p}-", d)).cast("long")
+                  for d in range(dim)]
+            )
+        dim_idx = F.sequence(F.lit(0), F.size(qv) - 1)
+        return F.transform(dim_idx, lambda d: _md5_component(f"{seed}-{p}-", d))
+
+    def int_dot(p: int) -> Column:
+        return F.aggregate(
+            F.zip_with(qv, comps(p), lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    code = F.lit(0).cast("long")
+    for p in range(planes):
+        code = code + F.when(int_dot(p) >= 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return code
+
+
+def int_dot_sim(a_quant: Column, b_quant: Column) -> Column:
+    """Exact integer dot product of two quantized vectors — the
+    engine-agnostic similarity score (monotone in cosine for
+    unit-ish-norm corpora; ties broken by id in callers)."""
+    return F.aggregate(
+        F.zip_with(a_quant, b_quant, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_topk_quantized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """IVF probe with integer-exact arithmetic end-to-end: cells from
+    hyperplane_code_int, ranking by quantized dot product.  Same plan
+    shape as ivf_topk (broadcast queries, equi-join on cell, window
+    top-k) but every number is a BIGINT, so the result is
+    deterministic across engines AND cluster sizes — this is the
+    oracle-checkable twin; ivf_topk (float cosine) stays the
+    full-precision path."""
+    from pyspark.sql import Window
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        quantize_vec(F.col(vec_col)).alias("cq"),
+        hyperplane_code_int(F.col(vec_col), planes, dim=dim).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        quantize_vec(F.col(vec_col)).alias("qq"),
+        hyperplane_code_int(F.col(vec_col), planes, dim=dim).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            int_dot_sim(F.col("cq"), F.col("qq")).alias("dot_q"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot_q").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dot_q", "rank")
+    )
+
+
 def cosine_topk_pandas(
     corpus: DataFrame,
     query_vec: list[float],

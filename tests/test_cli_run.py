@@ -1,0 +1,83 @@
+"""CLI `run` semantics: every config target executes (the reference
+runs every workflow), each in its own output namespace; explicit CLI
+flags beat config values.
+"""
+
+import json
+
+from hetman_spark.__main__ import main as cli_main
+
+TWO_TARGET_CFG = """
+global:
+  out_dir: "%(out)s"
+  splits_per_commit: 2
+targets:
+  - id: alpha
+    input: {path: "%(inp)s"}
+    parser: {format: nginx}
+    forwarders:
+      - url: sink://archive
+        add_tags: {tier: archive}
+  - id: beta
+    input: {path: "%(inp)s2"}
+    parser: {format: nginx}
+    forwarders:
+      - url: sink://archive
+        add_tags: {tier: archive}
+      - url: sink://english
+        add_tags: {tier: hot}
+        predicate: {col: lang, val: en}
+"""
+
+
+def test_cli_runs_every_target(spark, tmp_path, capsys):
+    from hetman_spark.sources.webtext import write_webtext
+
+    inp = str(tmp_path / "in1")
+    inp2 = str(tmp_path / "in1") + "2"
+    write_webtext(spark, inp, 600, n_splits=4)
+    write_webtext(spark, inp2, 400, n_splits=4)
+    out = str(tmp_path / "out")
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(TWO_TARGET_CFG % {"out": out, "inp": inp})
+
+    rc = cli_main(["run", "--config", str(cfg), "--master", "local[4]"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["targets"] == 2
+    assert rep["rows_in"] == 1000  # both targets processed
+    # each target owns its namespace (manifests never cross)
+    outs = {t["out"] for t in rep["per_target"]}
+    assert outs == {f"{out}/alpha", f"{out}/beta"}
+    by_out = {t["out"]: t for t in rep["per_target"]}
+    assert by_out[f"{out}/alpha"]["rows_in"] == 600
+    assert by_out[f"{out}/beta"]["rows_in"] == 400
+    # both targets' archive forwarders share one signature (same url +
+    # tags -> same identity, workflow.go:72-107), so totals aggregate:
+    # archive = 600 + 400; beta adds a second (english) sink id
+    assert len(rep["sink_counts"]) == 2
+    assert 1000 in rep["sink_counts"].values()
+
+
+def test_cli_flag_beats_config(spark, tmp_path, capsys):
+    """--splits-per-commit explicitly set on the CLI overrides the
+    config value (silently-ignored flags were the round-1 bug)."""
+    from hetman_spark.plans.checkpoint import read_manifest
+    from hetman_spark.sources.webtext import write_webtext
+
+    inp = str(tmp_path / "in1")
+    write_webtext(spark, inp, 300, n_splits=4)
+    out = str(tmp_path / "out")
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(
+        TWO_TARGET_CFG.split("  - id: beta")[0]
+        % {"out": out, "inp": inp}
+    )
+    rc = cli_main(["run", "--config", str(cfg), "--master", "local[4]",
+                   "--splits-per-commit", "1", "--max-splits", "1"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # with the CLI's splits_per_commit=1 + max_splits=1, exactly one
+    # split committed; under the config's value (2) it would be two
+    assert rep["splits_processed"] == 1
+    assert len(read_manifest(f"{out}/_manifest")) == 1

@@ -46,6 +46,13 @@ def test_embedding_lsh_is_bucketed(spark, sf_dir):
     _assert_equi_join_only(embedding_neardup_candidates(emb))
 
 
+def test_quantized_ann_entries_are_bucketed(spark, sf_dir):
+    from hetman_spark.entry_queries import q_embedding_lsh_candidates, q_ivf_topk
+
+    _assert_equi_join_only(q_embedding_lsh_candidates(spark, sf_dir))
+    _assert_equi_join_only(q_ivf_topk(spark, sf_dir))
+
+
 def test_entry_band_pairs_match_library_shape(spark, sf_dir):
     """The entry query and the library operator agree on the planted
     exact-duplicate pairs (sanity: the rewrite kept the semantics)."""
