@@ -44,6 +44,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="literal pre-enrich salted repartition (for non-broadcastable lookups)")
     r.add_argument("--reload-config", action="store_true",
                    help="re-read --config at every batch boundary (SIGHUP-reload analog)")
+    r.add_argument("--labeled-input", default=None,
+                   help="aggregator mode (S6): pre-labeled push table unioned before parse")
+    r.add_argument("--payloads", default=None,
+                   help="aggregator mode from raw Loki-style payload files (.json/.json.gz): "
+                        "decode + adapt, then union as the labeled source")
     r.add_argument("--jvm-parse", action="store_true",
                    help="use pure-JVM regex extraction instead of the pandas UDF")
 
@@ -142,6 +147,20 @@ def main(argv: list[str] | None = None) -> int:
                 ap.error("run requires --input/--out or --config providing them")
             targets.append((args.input, args.out, DEFAULT_SINKS, None))
 
+        labeled_input = args.labeled_input
+        if args.payloads:
+            # decode Loki-style HTTP payload files into the webtext
+            # shape and materialize once; the pipeline then unions it
+            # (aggregator.go's receive loop, batch form)
+            from hetman_spark.sources.labeled import loki_payload_to_df, loki_to_webtext
+
+            labeled_input = os.path.join(
+                args.payloads.rstrip("/") + "_decoded"
+            )
+            decoded = loki_to_webtext(loki_payload_to_df(spark, args.payloads))
+            (decoded.repartition(1).write.mode("overwrite")
+             .partitionBy("split_id").parquet(labeled_input))
+
         per_target = []
         tot_in = tot_parsed = 0
         tot_sinks: dict[str, int] = {}
@@ -158,6 +177,7 @@ def main(argv: list[str] | None = None) -> int:
                 max_splits=args.max_splits,
                 use_pandas_udf=not args.jvm_parse,
                 presalt=args.presalt,
+                labeled_input_path=labeled_input,
                 config_reload_path=args.config if args.reload_config and args.config else None,
             )
             n_splits_done += len(res.splits_processed)

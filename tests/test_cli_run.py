@@ -81,3 +81,33 @@ def test_cli_flag_beats_config(spark, tmp_path, capsys):
     # split committed; under the config's value (2) it would be two
     assert rep["splits_processed"] == 1
     assert len(read_manifest(f"{out}/_manifest")) == 1
+
+
+def test_cli_aggregator_payloads_mode(spark, tmp_path, capsys):
+    """run --payloads: raw gzip Loki payload files decode, adapt and
+    union into the pipeline (the full S6 CLI surface)."""
+    import gzip
+
+    from hetman_spark.sources.webtext import write_webtext
+
+    payload = {
+        "streams": [{
+            "stream": {"origin": "push"},
+            "values": [[
+                "2024-01-02T03:04:05Z",
+                '203.0.113.9 - - [02/Jan/2024:03:04:05 +0000] '
+                '"GET /push/1 HTTP/1.1" 500 123 "-" "curl/8"',
+            ]],
+        }]
+    }
+    pdir = tmp_path / "payloads"
+    pdir.mkdir()
+    (pdir / "p.json.gz").write_bytes(gzip.compress(json.dumps(payload).encode()))
+    inp = str(tmp_path / "in")
+    write_webtext(spark, inp, 500, n_splits=4)
+
+    rc = cli_main(["run", "--input", inp, "--out", str(tmp_path / "out"),
+                   "--payloads", str(pdir), "--master", "local[4]"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["rows_in"] == 501  # file rows + the pushed record
