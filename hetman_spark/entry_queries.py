@@ -577,6 +577,88 @@ JOIN sh b ON b.doc_id = p.id_b
 
 
 # ---------------------------------------------------------------------------
+# Sessionization: gap-based per-user sessions over the event stream —
+# the time-keyed twin of the multiline stitch (same cumsum shape).
+# ---------------------------------------------------------------------------
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hetman_spark.operators.sessionize import session_stats
+
+    e = _t(spark, sf_dir, "events")
+    return session_stats(e, gap_seconds=1800, tiebreak_col="event_id")
+
+
+# floor(epoch(...)) everywhere: Spark's unix_timestamp TRUNCATES
+# sub-second timestamps while DuckDB's epoch() is fractional — both
+# the 1800 s gap test and the duration must use the same integer
+# seconds or boundaries/durations drift by one.
+SQL_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       count(*) AS n_events,
+       CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS session_seconds,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS started_at
+FROM numbered
+GROUP BY user_id, session_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting: order-sensitive polynomial rolling hash over
+# token md5s — pure BIGINT modular arithmetic, identical in any engine
+# (the xxhash64 fingerprint in functions/text.py stays the perf path).
+# ---------------------------------------------------------------------------
+
+_FP_MOD = 2_147_483_647  # 2^31 - 1: products stay < 2^62 (ANSI-safe)
+_FP_BASE = 1_000_003
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.col("text")), r"\s+")
+    tok = lambda w: F.pmod(  # noqa: E731
+        F.conv(F.substring(F.md5(w), 1, 7), 16, 10).cast("long"), F.lit(_FP_MOD)
+    )
+    fp = F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: F.pmod(acc * _FP_BASE + tok(w), F.lit(_FP_MOD)),
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))
+
+
+SQL_DOC_FINGERPRINTS = f"""
+WITH toks AS (
+  SELECT doc_id, i,
+         CAST(('0x' || substr(md5(w), 1, 7)) AS BIGINT) % {_FP_MOD} AS t
+  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w,
+               generate_subscripts(string_split(lower(text), ' '), 1) AS i
+        FROM documents)
+)
+SELECT doc_id,
+       CAST(list_reduce(
+              list_prepend(CAST(0 AS BIGINT),
+                           list(t ORDER BY i)),
+              (acc, x) -> (acc * {_FP_BASE} + x) % {_FP_MOD}
+            ) AS BIGINT) AS fingerprint
+FROM toks GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Classic OLAP shapes over the star schema (beyond the reference —
 # demonstrates the engine is a general DataFrame pipeline, not a
 # single-purpose port)
@@ -961,6 +1043,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "syslog_rfc5424": q_syslog_rfc5424,
     "syslog_rfc3164": q_syslog_rfc3164,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "sessionize_events": q_sessionize_events,
+    "doc_fingerprints": q_doc_fingerprints,
     "simhash_groups": q_simhash_groups,
     "webtext_route_counts": q_webtext_route_counts,
     "embedding_lsh_candidates": q_embedding_lsh_candidates,
@@ -990,6 +1074,8 @@ ORACLES: dict[str, str] = {
     "syslog_rfc5424": SQL_SYSLOG_RFC5424,
     "syslog_rfc3164": SQL_SYSLOG_RFC3164,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
+    "sessionize_events": SQL_SESSIONIZE,
+    "doc_fingerprints": SQL_DOC_FINGERPRINTS,
     "simhash_groups": SQL_SIMHASH_GROUPS,
     "webtext_route_counts": _sql_webtext_route_counts(),
     "embedding_lsh_candidates": SQL_EMBEDDING_LSH,
