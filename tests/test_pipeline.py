@@ -140,3 +140,25 @@ def test_aggregator_mode_labeled_union(spark, tmp_path):
     # upstream labels override parsed fields on key conflict
     row = pushed_rows.limit(1).collect()[0]
     assert row["tags"]["status"] == "pushed-status"
+
+
+def test_output_file_count_is_commit_scale_safe(spark, tmp_path):
+    """The write layout must stay O(sinks x max(tasks, splits)) files —
+    a tasks x dirs sliver explosion makes the dynamic-overwrite commit
+    (O(files) driver work) the scale bottleneck (BENCH.md 'what was
+    changed to make it scale')."""
+    import glob
+
+    from hetman_spark.sources.webtext import write_webtext
+
+    inp = str(tmp_path / "in")
+    write_webtext(spark, inp, 4000, n_splits=8, files_per_split=2)
+    out = str(tmp_path / "out")
+    run_pipeline(spark, inp, out, splits_per_commit=64)
+    files = glob.glob(f"{out}/data/sink_id=*/split_id=*/*.parquet")
+    n_sinks = 4
+    n_splits = 8
+    # bound: a handful of files per (sink, split) dir, never task-count
+    # multiples of dirs
+    assert len(files) <= n_sinks * n_splits * 4
+    assert len(files) >= n_sinks  # sanity: all sinks materialized

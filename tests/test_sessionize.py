@@ -65,3 +65,37 @@ def test_streaming_session_window_matches_batch(spark, tmp_path):
     assert got[(1, "2024-01-01 11:30:00")] == 1
     assert got[(2, "2024-01-01 09:00:00")] == 1
     assert got[(3, "2024-01-01 08:00:00")] == 2
+
+
+def test_sessionize_property_random_gaps(spark):
+    """Property: within a session all consecutive gaps <= threshold;
+    the first event of every later session follows a gap > threshold.
+    Deterministic pseudo-random event times derived from range()."""
+    n, gap = 500, 600
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("event_id"),
+            (F.col("id") % 7).alias("user_id"),
+            F.timestamp_seconds(
+                F.lit(1700000000)
+                + F.pmod(F.xxhash64(F.col("id"), F.lit("t")), F.lit(86400))
+            ).alias("ts"),
+        )
+    )
+    out = sessionize(df, gap_seconds=gap, tiebreak_col="event_id").collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for rows in by_user.values():
+        rows.sort(key=lambda r: (r["ts"], r["event_id"]))
+        prev = None
+        for r in rows:
+            if prev is not None:
+                delta = (r["ts"] - prev["ts"]).total_seconds()
+                if r["session_id"] == prev["session_id"]:
+                    assert delta <= gap
+                else:
+                    assert r["session_id"] == prev["session_id"] + 1
+                    assert delta > gap
+            prev = r
