@@ -119,6 +119,7 @@ def streaming_pipeline(
     out_dir: str,
     checkpoint_dir: str,
     trigger_once: bool = True,
+    max_files_per_trigger: int = 4,
 ):
     """The full parse -> enrich -> route chain as a streaming query.
 
@@ -133,7 +134,7 @@ def streaming_pipeline(
     routes = routes_df(spark)
     disjoint = tags_disjoint(DEFAULT_SINKS)
 
-    stream = read_webtext_stream(spark, input_dir)
+    stream = read_webtext_stream(spark, input_dir, max_files_per_trigger)
     parsed = build_parsed(stream).drop("html")
 
     def sink_batch(batch_df: DataFrame, epoch_id: int) -> None:

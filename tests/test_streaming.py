@@ -100,3 +100,32 @@ def test_stateful_multiline_stream(spark, tmp_path):
     }
     assert got2[("f1", 3)] == "INFO fine"
     assert got2[("f2", 0)] == "WARN solo"
+
+
+def test_backpressure_max_files_per_trigger(spark, tmp_path):
+    """FC1: maxFilesPerTrigger bounds each micro-batch's intake (the
+    byte-budget backpressure analog, backpressure.go:36-75) — with 1
+    file per trigger, an N-file input drains in N epochs, visible as N
+    epoch_id partitions in the idempotent sink layout."""
+    from hetman_spark.sources.webtext import generate_webtext
+    from hetman_spark.streaming.stream import streaming_pipeline
+
+    src = str(tmp_path / "src")
+    # 3 separate files (one write each => one file each)
+    for i in range(3):
+        generate_webtext(spark, 50, n_splits=1).withColumn(
+            "split_id", F.lit(i)
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "out")
+    q = streaming_pipeline(spark, src, out, str(tmp_path / "ckpt"),
+                           max_files_per_trigger=1)
+    q.awaitTermination(180)
+
+    epochs = {
+        name for name in os.listdir(os.path.join(out, "data"))
+        if name.startswith("epoch_id=")
+    }
+    assert len(epochs) == 3  # one micro-batch per file
+    data = spark.read.parquet(os.path.join(out, "data"))
+    assert data.filter(F.col("sink_id") == "ef72bbb8150adc6cdce19e595f8e64e0").count() == 150
