@@ -234,6 +234,17 @@ def main(argv: list[str] | None = None) -> int:
             F.coalesce(F.sum(F.col("n_copies") - 1), F.lit(0)).alias("removable")
         ).collect()[0]["removable"]
         near_pairs = minhash_lsh_candidates(docs).count()
+        # near-identical by order-sensitive rolling fingerprint (token
+        # sequence equal, not just token set)
+        from hetman_spark.functions.dedup import simhash_md5
+
+        simhash_dupes = (
+            docs.select(simhash_md5(F.col("text")).alias("sh"))
+            .groupBy("sh").agg(F.count(F.lit(1)).alias("n"))
+            .filter("n > 1")
+            .agg(F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).alias("r"))
+            .collect()[0]["r"]
+        )
         print(json.dumps({
             "cmd": "analyze",
             "n_docs": summary["n_docs"],
@@ -242,6 +253,7 @@ def main(argv: list[str] | None = None) -> int:
             "avg_alpha_ratio": round(summary["avg_alpha_ratio"], 4),
             "lang_guess_counts": langs,
             "exact_dup_removable": exact_dupes,
+            "simhash_dup_removable": simhash_dupes,
             "minhash_candidate_pairs": near_pairs,
             "sec": round(time.time() - t0, 2),
         }))

@@ -27,6 +27,8 @@ def main() -> None:
     ap.add_argument("--salt-buckets", type=int, default=8)
     ap.add_argument("--splits-per-commit", type=int, default=256)
     ap.add_argument("--presalt", action="store_true")
+    ap.add_argument("--labeled-input", default=None,
+                    help="aggregator mode: pre-labeled push table unioned before parse")
     args = ap.parse_args()
 
     spark = (
@@ -73,6 +75,7 @@ def main() -> None:
             salt_buckets=args.salt_buckets,
             splits_per_commit=args.splits_per_commit,
             presalt=args.presalt,
+            labeled_input_path=args.labeled_input,
         )
         n_done += len(res.splits_processed)
         tot_in += res.rows_in
