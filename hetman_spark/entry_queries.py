@@ -617,6 +617,52 @@ GROUP BY user_id, session_id
 
 
 # ---------------------------------------------------------------------------
+# As-of join: each event joined to the user's latest prior purchase —
+# Spark has no native ASOF JOIN (built from union + carry-forward
+# window, operators/asof.py); DuckDB has one, which makes the oracle a
+# genuine independent implementation.
+# ---------------------------------------------------------------------------
+
+
+def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hetman_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max(F.floor(F.col("value") * 100)).cast("long").alias("purchase_cents"))
+    )
+    joined = asof_join(
+        e.select("event_id", "user_id", "ts"),
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload_cols=["purchase_cents"],
+    )
+    return joined.select(
+        "event_id",
+        F.col("purchase_cents").alias("last_purchase_cents"),
+    )
+
+
+SQL_ASOF = """
+WITH purchases AS (
+  SELECT user_id, ts,
+         CAST(max(floor(value * 100)) AS BIGINT) AS purchase_cents
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, ts
+)
+SELECT e.event_id,
+       p.purchase_cents AS last_purchase_cents
+FROM events e
+ASOF LEFT JOIN purchases p
+  ON e.user_id = p.user_id AND e.ts >= p.ts
+"""
+
+
+# ---------------------------------------------------------------------------
 # Document fingerprinting: order-sensitive polynomial rolling hash over
 # token md5s — pure BIGINT modular arithmetic, identical in any engine
 # (the xxhash64 fingerprint in functions/text.py stays the perf path).
@@ -1045,6 +1091,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "sessionize_events": q_sessionize_events,
     "doc_fingerprints": q_doc_fingerprints,
+    "asof_last_purchase": q_asof_last_purchase,
     "simhash_groups": q_simhash_groups,
     "webtext_route_counts": q_webtext_route_counts,
     "embedding_lsh_candidates": q_embedding_lsh_candidates,
@@ -1076,6 +1123,7 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
     "sessionize_events": SQL_SESSIONIZE,
     "doc_fingerprints": SQL_DOC_FINGERPRINTS,
+    "asof_last_purchase": SQL_ASOF,
     "simhash_groups": SQL_SIMHASH_GROUPS,
     "webtext_route_counts": _sql_webtext_route_counts(),
     "embedding_lsh_candidates": SQL_EMBEDDING_LSH,
