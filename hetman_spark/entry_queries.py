@@ -663,6 +663,44 @@ ASOF LEFT JOIN purchases p
 
 
 # ---------------------------------------------------------------------------
+# Range join: events matched into synthetic maintenance windows —
+# bin-bucketed equi-join (operators/rangejoin.py), never a theta/
+# cartesian join; the DuckDB twin IS the plain inequality join.
+# ---------------------------------------------------------------------------
+
+_RJ_T0 = 1704067200  # epoch of 2024-01-01, the events epoch origin
+_RJ_BIN = 7200
+
+
+def q_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hetman_spark.operators.rangejoin import range_join_points_intervals
+
+    e = _t(spark, sf_dir, "events").select("event_id", "ts")
+    iv = spark.range(120).select(
+        F.col("id").alias("interval_id"),
+        F.timestamp_seconds(F.lit(_RJ_T0) + F.col("id") * 3600).alias("start_ts"),
+        F.timestamp_seconds(
+            F.lit(_RJ_T0) + F.col("id") * 3600 + 1800 + (F.col("id") % 5) * 600
+        ).alias("end_ts"),
+    )
+    out = range_join_points_intervals(e, iv, bin_seconds=_RJ_BIN)
+    return out.select("event_id", "interval_id")
+
+
+SQL_RANGE_JOIN = f"""
+WITH iv AS (
+  SELECT i AS interval_id,
+         {_RJ_T0} + i * 3600 AS start_e,
+         {_RJ_T0} + i * 3600 + 1800 + (i % 5) * 600 AS end_e
+  FROM (SELECT CAST(unnest(range(120)) AS BIGINT) AS i)
+)
+SELECT e.event_id, iv.interval_id
+FROM events e JOIN iv
+  ON floor(epoch(e.ts)) >= iv.start_e AND floor(epoch(e.ts)) <= iv.end_e
+"""
+
+
+# ---------------------------------------------------------------------------
 # Document fingerprinting: order-sensitive polynomial rolling hash over
 # token md5s — pure BIGINT modular arithmetic, identical in any engine
 # (the xxhash64 fingerprint in functions/text.py stays the perf path).
@@ -1092,6 +1130,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize_events": q_sessionize_events,
     "doc_fingerprints": q_doc_fingerprints,
     "asof_last_purchase": q_asof_last_purchase,
+    "range_join_windows": q_range_join_windows,
     "simhash_groups": q_simhash_groups,
     "webtext_route_counts": q_webtext_route_counts,
     "embedding_lsh_candidates": q_embedding_lsh_candidates,
@@ -1124,6 +1163,7 @@ ORACLES: dict[str, str] = {
     "sessionize_events": SQL_SESSIONIZE,
     "doc_fingerprints": SQL_DOC_FINGERPRINTS,
     "asof_last_purchase": SQL_ASOF,
+    "range_join_windows": SQL_RANGE_JOIN,
     "simhash_groups": SQL_SIMHASH_GROUPS,
     "webtext_route_counts": _sql_webtext_route_counts(),
     "embedding_lsh_candidates": SQL_EMBEDDING_LSH,
