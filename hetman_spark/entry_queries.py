@@ -1037,14 +1037,55 @@ SELECT query_id, neighbor_id, dot_q, rank FROM (
 
 
 # ---------------------------------------------------------------------------
-# Rows-only queries (no SQL oracle: engine-specific hashing / approximate)
+# Multimodal feature extraction — the stub decoders are deterministic
+# integer arithmetic over md5-derived payload bytes, so DuckDB can
+# recompute width/height/channels from the SAME parquet bytes: the
+# mapInPandas plumbing gets a full value-hash oracle without any codec
+# library.
 # ---------------------------------------------------------------------------
+
+_MEDIA_ORACLE_PATH = "/tmp/hetman_spark_oracle_media"
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-feature extraction over the synthetic media table,
+    materialized to parquet at a fixed path (same trick as
+    q_webtext_route_counts) so the DuckDB oracle reads the same bytes
+    and re-derives the stub decode (functions/multimodal.py:48-55):
+    h = little-endian int of payload[:8], width = 64 + h % 1024,
+    height = 64 + (h >> 10) % 1024, channels = 3."""
     from hetman_spark.functions.multimodal import extract_image_features, synth_media
 
-    return extract_image_features(synth_media(spark, 300))
+    synth_media(spark, 300).write.mode("overwrite").parquet(_MEDIA_ORACLE_PATH)
+    return extract_image_features(spark.read.parquet(_MEDIA_ORACLE_PATH))
+
+
+# width/height need only the low 20 bits of the little-endian payload
+# int, i.e. the first 3 bytes (b0 + 256*b1 + 65536*b2): the b3..b7
+# terms are multiples of 2^24, which vanish under both `% 1024` and
+# `(>>10) % 1024`.  The payload is pure ASCII (concatenated md5
+# hexdigests), so decode(payload) -> VARCHAR is lossless and DuckDB's
+# VARCHAR-only md5 hashes the identical bytes Spark's binary md5 does.
+SQL_MULTIMODAL = f"""
+WITH src AS (
+  SELECT media_id, format, payload, lower(hex(payload)) AS hx
+  FROM read_parquet('{_MEDIA_ORACLE_PATH}/*.parquet')
+  WHERE kind = 'image'
+), h AS (
+  SELECT media_id, format, payload,
+         CAST('0x' || substr(hx, 1, 2) AS BIGINT)
+         + CAST('0x' || substr(hx, 3, 2) AS BIGINT) * 256
+         + CAST('0x' || substr(hx, 5, 2) AS BIGINT) * 65536 AS h3
+  FROM src
+)
+SELECT media_id, format,
+       CAST(64 + h3 % 1024 AS INTEGER) AS width,
+       CAST(64 + (h3 // 1024) % 1024 AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS channels,
+       CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+       md5(decode(payload)) AS checksum
+FROM h
+"""
 
 
 _WEBTEXT_ORACLE_PATH = "/tmp/hetman_spark_oracle_webtext"
@@ -1135,7 +1176,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "webtext_route_counts": q_webtext_route_counts,
     "embedding_lsh_candidates": q_embedding_lsh_candidates,
     "ivf_topk": q_ivf_topk,
-    # rows-only (no DuckDB oracle: stubbed codecs, binary payloads)
     "multimodal_features": q_multimodal_features,
 }
 
@@ -1168,4 +1208,5 @@ ORACLES: dict[str, str] = {
     "webtext_route_counts": _sql_webtext_route_counts(),
     "embedding_lsh_candidates": SQL_EMBEDDING_LSH,
     "ivf_topk": SQL_IVF_TOPK,
+    "multimodal_features": SQL_MULTIMODAL,
 }
