@@ -595,15 +595,20 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # seconds or boundaries/durations drift by one.
 SQL_SESSIONIZE = """
 WITH flagged AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
                 OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
               THEN 1 ELSE 0 END AS is_new
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), numbered AS (
+  -- the cumsum window MUST tiebreak on event_id like the flagged
+  -- window (and the Spark operator): with duplicate (user_id, ts)
+  -- rows at a session boundary, ordering by ts alone can sort the
+  -- is_new=1 row after its tie, yielding session_id -1 and a
+  -- nondeterministic oracle
   SELECT user_id, ts,
-         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
   FROM flagged
 )

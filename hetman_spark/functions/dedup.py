@@ -95,6 +95,13 @@ def minhash_lsh_candidates(
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signature(F.col(text_col), num_hashes, shingle_n)
+    # texts shorter than shingle_n words have EMPTY shingle arrays ->
+    # all-null signatures -> every short doc would share one bucket per
+    # band and emit k(k-1)/2 meaningless pairs; drop them up front
+    # (cheap word-count predicate, no shingle recompute)
+    df = df.where(
+        F.size(F.split(F.lower(F.col(text_col)), r"\s+")) >= F.lit(shingle_n)
+    )
     banded = df.select(F.col(id_col).alias("id"), sig.alias("sig")).select(
         "id",
         F.explode(

@@ -48,6 +48,15 @@ def asof_join(
     payload_cols = payload_cols or [
         c for c in right.columns if c not in (key, right_ts)
     ]
+    clash = (set(payload_cols) | {"_ts", "_side", "_p"}) & set(left.columns)
+    if clash:
+        # the null-fill loop + final withColumn would silently
+        # OVERWRITE a left column of the same name — refuse instead
+        raise ValueError(
+            f"asof_join: left columns {sorted(clash)} collide with right "
+            "payload columns (or the internal _ts/_side/_p names); rename "
+            "or pass payload_cols explicitly"
+        )
     payload_t = (
         "struct<" + ", ".join(
             f"{c}: {right.schema[c].dataType.simpleString()}" for c in payload_cols

@@ -37,9 +37,14 @@ def range_join_points_intervals(
     end_ts: str = "end_ts",
 ) -> DataFrame:
     """All (point, interval) pairs with start <= point_ts <= end
-    (epoch-second resolution).  bin_seconds must be >= the longest
-    interval (asserted via a cheap driver check disabled at scale —
-    pass the known bound instead)."""
+    (epoch-second resolution).
+
+    bin_seconds is a PERF knob, not a correctness precondition: the
+    explode covers every bin an interval spans, so any W is correct —
+    a smaller W only increases interval duplication (ceil(len/W)+1
+    exploded rows per interval) while a huge W degrades bucket
+    selectivity.  W >= the longest interval keeps the fan-out <= 2
+    rows per interval (the module-docstring sweet spot)."""
     p = points.withColumn("_bin", F.floor(F.unix_timestamp(F.col(point_ts)) / bin_seconds))
     i = intervals.withColumn(
         "_bin",

@@ -30,6 +30,7 @@ Scale shape (the plan we WANT at 100 TB):
 
 from __future__ import annotations
 
+import logging
 import os
 from dataclasses import dataclass, field
 
@@ -396,15 +397,28 @@ def run_pipeline(
                 from hetman_spark.config_yaml import load_config
 
                 _gc, specs = load_config(config_reload_path)
-                spec = next(
-                    (s for s in specs if s.input_path == input_path), specs[0]
-                )
-                if spec.sinks:
-                    sinks = spec.sinks
-                    routes = routes_df(spark, sinks)
-                modifier = spec.modifier
+                spec = next((s for s in specs if s.input_path == input_path), None)
+                if spec is None:
+                    # no spec targets this run's input — grafting
+                    # specs[0]'s sinks/modifier onto it would silently
+                    # reroute the data; keep the current config
+                    logging.getLogger(__name__).warning(
+                        "config reload: no spec in %s matches input_path %s; "
+                        "keeping current config", config_reload_path, input_path,
+                    )
+                else:
+                    if spec.sinks:
+                        sinks = spec.sinks
+                        routes = routes_df(spark, sinks)
+                    modifier = spec.modifier
             except Exception:
-                pass  # keep the previous config, as the reference does
+                # keep the previous config, as the reference does — but
+                # LOUDLY (the reference logs reload failures too:
+                # internal/cmd/agent.go reload loop)
+                logging.getLogger(__name__).warning(
+                    "config reload from %s failed; keeping current config",
+                    config_reload_path, exc_info=True,
+                )
         # manifest anti-join == partition-pruned isin filter on the
         # partition column (split_id) — Catalyst prunes at the source.
         df = src.filter(F.col("split_id").isin(batch))

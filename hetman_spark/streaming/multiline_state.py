@@ -66,15 +66,19 @@ def make_stitcher(pattern: str, timeout_ms: int = 60_000):
         out_rows: list[tuple[str, int, str]] = []
 
         for pdf in pdfs:
-            for _, r in pdf.sort_values("line_no").iterrows():
-                line = r["line"]
+            # the stitch is inherently sequential per file, but the row
+            # access need not be: one sort, then a zip over raw numpy
+            # arrays (iterrows materializes a pandas Series per row,
+            # ~10x slower on wide batches)
+            s = pdf.sort_values("line_no")
+            for line_no, line in zip(s["line_no"].to_numpy(), s["line"].to_numpy()):
                 if rx.search(line) and pending is not None:
                     # continuation: append joined by a single space
                     pending = (pending[0], pending[1] + " " + line)
                 else:
                     if pending is not None:
                         out_rows.append((file_id, pending[0], pending[1]))
-                    pending = (int(r["line_no"]), line)
+                    pending = (int(line_no), line)
 
         if pending is not None:
             state.update(pending)
