@@ -936,6 +936,58 @@ FROM sigs GROUP BY simhash
 """
 
 
+# DuckDB twin of the 60-bit md5 simhash signature — shared by the
+# exact-group and Hamming-k oracles.
+_SQL_SIMHASH_SIGS = r"""
+words AS (
+  SELECT DISTINCT doc_id, w FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+    FROM documents)
+), hx AS (
+  SELECT doc_id, md5(w) AS h FROM words
+), votes AS (
+  SELECT doc_id, i,
+         sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, 1 + i // 4, 1)) - 1)
+                        >> (3 - (i % 4))) & 1 = 1
+                  THEN 1 ELSE -1 END) AS v
+  FROM hx CROSS JOIN (SELECT CAST(unnest(range(60)) AS INT) AS i)
+  GROUP BY doc_id, i
+), sigs AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << (59 - i)) ELSE 0 END)
+              AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+)
+"""
+
+
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-distance <= 3 SimHash near-dup pairs via the banded
+    bucket-join (functions/dedup.py:simhash_near_pairs) over the
+    engine-agnostic 60-bit md5 signature: 4 chunks of 15 bits,
+    equi-join per chunk, exact bit_count(xor) post-filter."""
+    from hetman_spark.functions.dedup import simhash_md5, simhash_near_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_pairs(
+        d, id_col="doc_id", k=3, signature=simhash_md5(F.col("text")), bits=60
+    )
+
+
+SQL_SIMHASH_NEAR_PAIRS = f"""
+WITH {_SQL_SIMHASH_SIGS},
+banded AS (
+  SELECT doc_id, simhash, c AS chunk, (simhash >> (c * 15)) & 32767 AS cv
+  FROM sigs CROSS JOIN (SELECT CAST(unnest(range(4)) AS INT) AS c)
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM banded a JOIN banded b ON a.chunk = b.chunk AND a.cv = b.cv
+WHERE a.doc_id < b.doc_id
+  AND bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # ANN with integer-exact arithmetic: embeddings quantized (floor(x*1000)
 # as BIGINT), hyperplanes md5-derived integers — cell assignment, LSH
@@ -1178,6 +1230,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_last_purchase": q_asof_last_purchase,
     "range_join_windows": q_range_join_windows,
     "simhash_groups": q_simhash_groups,
+    "simhash_near_pairs": q_simhash_near_pairs,
     "webtext_route_counts": q_webtext_route_counts,
     "embedding_lsh_candidates": q_embedding_lsh_candidates,
     "ivf_topk": q_ivf_topk,
@@ -1210,6 +1263,7 @@ ORACLES: dict[str, str] = {
     "asof_last_purchase": SQL_ASOF,
     "range_join_windows": SQL_RANGE_JOIN,
     "simhash_groups": SQL_SIMHASH_GROUPS,
+    "simhash_near_pairs": SQL_SIMHASH_NEAR_PAIRS,
     "webtext_route_counts": _sql_webtext_route_counts(),
     "embedding_lsh_candidates": SQL_EMBEDDING_LSH,
     "ivf_topk": SQL_IVF_TOPK,

@@ -244,12 +244,85 @@ def simhash_md5(text: Column) -> Column:
 
 def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact-simhash duplicate groups (Hamming distance 0).  For
-    distance <= k, band the 64 bits into k+1 chunks and bucket-join
-    (same pattern as minhash_lsh_candidates)."""
+    distance <= k see :func:`simhash_near_pairs`."""
     return (
         df.select(F.col(id_col), simhash(F.col(text_col)).alias("simhash"))
         .groupBy("simhash")
         .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    signature: Column | None = None,
+    bits: int = 63,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs at Hamming distance <= k over SimHash
+    signatures — the banded bucket-join (Manku/Jain/Sarma's web-dedup
+    construction, re-expressed as DataFrame equi-joins).
+
+    Pigeonhole: split the `bits` signature bits into k+1 contiguous
+    chunks; two signatures within Hamming distance k must agree
+    EXACTLY on at least one chunk (k flipped bits can dirty at most k
+    chunks).  So: explode each doc into k+1 (chunk_id, chunk_value)
+    rows, equi-join per chunk — the shuffle carries only
+    (chunk_value, id, signature) — then post-filter the exact
+    distance with bit_count(a XOR b) <= k.  Same scale shape as
+    minhash_lsh_candidates: a hash join on a dense key, never a cross
+    product; hot chunks (e.g. all-zero signatures from empty docs)
+    are dropped by the max_bucket_size cap.
+
+    `signature`: precomputed signature Column (defaults to the
+    xxhash64 :func:`simhash` over text_col, 63 bits; pass
+    simhash_md5(...) with bits=60 for the engine-agnostic twin).
+    """
+    sig = signature if signature is not None else simhash(F.col(text_col))
+    chunks = k + 1
+    w = bits // chunks
+
+    def chunk_val(c: int) -> Column:
+        lo = c * w
+        width = bits - lo if c == chunks - 1 else w
+        # literal shift amounts — pyspark shiftright demands them
+        return F.shiftright(F.col("sim"), lo).bitwiseAND(F.lit((1 << width) - 1))
+
+    banded = df.select(F.col(id_col).alias("id"), sig.alias("sim")).select(
+        "id",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(c).alias("chunk"), chunk_val(c).alias("cv"))
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("ck"),
+    ).select("id", "sim", F.col("ck.chunk").alias("chunk"), F.col("ck.cv").alias("cv"))
+
+    if max_bucket_size is not None:
+        ok = (
+            banded.groupBy("chunk", "cv")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") <= max_bucket_size)
+            .select("chunk", "cv")
+        )
+        banded = banded.join(ok, ["chunk", "cv"], "left_semi")
+
+    left, right = banded.alias("l"), banded.alias("r")
+    hamming = F.bit_count(F.col("l.sim").bitwiseXOR(F.col("r.sim"))).cast("long")
+    return (
+        left.join(right, ["chunk", "cv"])
+        .where((F.col("l.id") < F.col("r.id")) & (hamming <= k))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
     )
 
 

@@ -46,6 +46,32 @@ def test_embedding_lsh_is_bucketed(spark, sf_dir):
     _assert_equi_join_only(embedding_neardup_candidates(emb))
 
 
+def test_simhash_near_pairs_is_bucketed(spark, sf_dir):
+    from hetman_spark.entry_queries import q_simhash_near_pairs
+    from hetman_spark.functions.dedup import simhash_near_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    _assert_equi_join_only(simhash_near_pairs(docs))
+    _assert_equi_join_only(q_simhash_near_pairs(spark, sf_dir))
+
+
+def test_simhash_near_pairs_finds_exact_dups(spark, sf_dir):
+    """Byte-identical texts have identical signatures (hamming 0), so
+    every planted exact-dup pair must surface with hamming == 0."""
+    from hetman_spark.entry_queries import q_simhash_near_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dup_pairs = (
+        docs.alias("a")
+        .join(docs.alias("b"), F.col("a.text") == F.col("b.text"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    found = q_simhash_near_pairs(spark, sf_dir)
+    missing = dup_pairs.join(found.where("hamming = 0"), ["id_a", "id_b"], "left_anti")
+    assert missing.count() == 0
+
+
 def test_quantized_ann_entries_are_bucketed(spark, sf_dir):
     from hetman_spark.entry_queries import q_embedding_lsh_candidates, q_ivf_topk
 
