@@ -52,6 +52,19 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--jvm-parse", action="store_true",
                    help="use pure-JVM regex extraction instead of the pandas UDF")
 
+    st = sub.add_parser(
+        "stream",
+        help="run the pipeline as a Structured Streaming job "
+        "(drains available files by default — the agent-tail mode)",
+    )
+    st.add_argument("--input", required=True)
+    st.add_argument("--out", required=True)
+    st.add_argument("--master", default=None)
+    st.add_argument("--max-files-per-trigger", type=int, default=4,
+                    help="FC1 backpressure: files per micro-batch")
+    st.add_argument("--follow", action="store_true",
+                    help="keep tailing for new files instead of draining and exiting")
+
     s = sub.add_parser("status", help="print the checkpoint manifest")
     s.add_argument("--out", required=True)
 
@@ -207,6 +220,41 @@ def main(argv: list[str] | None = None) -> int:
                 }
             )
         )
+        return 0
+
+    if args.cmd == "stream":
+        from pyspark.sql import functions as F
+
+        from hetman_spark.streaming.stream import streaming_pipeline
+
+        q = streaming_pipeline(
+            spark,
+            args.input,
+            args.out,
+            checkpoint_dir=f"{args.out}/_checkpoint",
+            trigger_once=not args.follow,
+            max_files_per_trigger=args.max_files_per_trigger,
+        )
+        q.awaitTermination()
+        progress = q.recentProgress or []
+        rows_in = sum(int(p["numInputRows"]) for p in progress)
+        epochs = sum(1 for p in progress if int(p["numInputRows"]) > 0)
+        sink_counts = {
+            r["sink_id"]: r["n"]
+            for r in spark.read.parquet(f"{args.out}/data")
+            .groupBy("sink_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        sec = time.time() - t0
+        print(json.dumps({
+            "cmd": "stream",
+            "epochs": epochs,
+            "rows_in": rows_in,
+            "sink_counts": dict(sorted(sink_counts.items())),
+            "sec": round(sec, 2),
+            "pages_per_sec": round(rows_in / sec, 1) if sec > 0 else None,
+        }))
         return 0
 
     if args.cmd == "analyze":

@@ -67,8 +67,26 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # stderr progress bars corrupt captured bench/driver output
+        .config("spark.ui.showConsoleProgress", "false")
+        # every writer in this engine relies on partition-scoped
+        # overwrite for idempotent commits (batch manifest + streaming
+        # epoch sink); static mode would wipe sibling partitions
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
     )
+    if os.environ.get("HETMAN_SPARK_KAFKA_PACKAGES"):
+        # S5/F4 last mile: pull the Kafka connector from Maven at
+        # session build.  Opt-in via env because this sandbox has NO
+        # network (curl to repo1.maven.org: exit 6, DNS failure —
+        # recorded in BENCH.md) and an unreachable resolver would hang
+        # every session for minutes of ivy retries.  On a networked
+        # cluster: HETMAN_SPARK_KAFKA_PACKAGES=1 (or spark-submit
+        # --packages org.apache.spark:spark-sql-kafka-0-10_2.13:4.1.2).
+        builder = builder.config(
+            "spark.jars.packages",
+            "org.apache.spark:spark-sql-kafka-0-10_2.13:4.1.2",
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

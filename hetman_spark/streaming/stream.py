@@ -144,7 +144,17 @@ def streaming_pipeline(
         # into its own partition with dynamic partition overwrite makes
         # the retry replace its earlier partial output — the streaming
         # twin of the batch manifest's overwrite-then-commit design.
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        #
+        # The conf MUST be set on batch_df.sparkSession: foreachBatch
+        # executes under a CLONED session whose conf snapshot was taken
+        # at stream start, so setting it on the outer session is a
+        # no-op for this write — static overwrite then silently wipes
+        # every earlier epoch (caught by the `stream` CLI on a fresh
+        # session; the pytest had masked it via conf leakage from an
+        # earlier batch-pipeline test).
+        batch_df.sparkSession.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
         routed = build_routed(
             batch_df.join(F.broadcast(lookup), "lang", "left"), routes, disjoint_tags=disjoint
         )

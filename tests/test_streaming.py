@@ -102,6 +102,38 @@ def test_stateful_multiline_stream(spark, tmp_path):
     assert got2[("f2", 0)] == "WARN solo"
 
 
+def test_epoch_sink_idempotent_under_static_parent_conf(spark, tmp_path):
+    """Regression: foreachBatch executes under a CLONED session whose
+    conf was snapshotted at stream start — the dynamic-overwrite conf
+    must be set on batch_df.sparkSession inside the sink, or every
+    epoch write silently WIPES the previous epochs (static overwrite
+    deletes the whole path).  Caught on a fresh session via the
+    `stream` CLI; earlier pytest runs masked it because a prior
+    batch-pipeline test had leaked the conf session-wide."""
+    from hetman_spark.streaming.stream import streaming_pipeline
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        wt = str(tmp_path / "wt")
+        write_webtext(spark, wt, 400, n_splits=4)
+        out = str(tmp_path / "out")
+        q = streaming_pipeline(spark, wt, out, str(tmp_path / "ckpt"),
+                               max_files_per_trigger=1)
+        q.awaitTermination(180)
+        epochs = {
+            name for name in os.listdir(os.path.join(out, "data"))
+            if name.startswith("epoch_id=")
+        }
+        assert len(epochs) == 4, f"epochs lost to static overwrite: {epochs}"
+        data = spark.read.parquet(os.path.join(out, "data"))
+        assert data.filter(
+            F.col("sink_id") == "ef72bbb8150adc6cdce19e595f8e64e0"
+        ).count() == 400
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def test_backpressure_max_files_per_trigger(spark, tmp_path):
     """FC1: maxFilesPerTrigger bounds each micro-batch's intake (the
     byte-budget backpressure analog, backpressure.go:36-75) — with 1
