@@ -222,6 +222,39 @@ def scaling_runs(rows: int) -> dict:
     return results
 
 
+def streaming_run(rows: int) -> dict:
+    """The reference's identity is a continuous tailer — record the
+    Structured Streaming twin's throughput, not just the batch path:
+    one availableNow drain (16 files, 4 files/trigger -> 4 epochs) at
+    8 pinned cores via the `stream` CLI."""
+    repo = os.path.dirname(os.path.abspath(__file__))
+    scratch = tempfile.mkdtemp(prefix="bench-stream-")
+    try:
+        subprocess.run(
+            [sys.executable, "-m", "hetman_spark", "generate",
+             "--out", f"{scratch}/src", "--rows", str(rows),
+             "--splits", "16", "--master", "local[16]"],
+            capture_output=True, text=True, cwd=repo, check=True,
+        )
+        _wait_quiet()
+        proc = subprocess.run(
+            ["taskset", "-c", "0-7",
+             sys.executable, "-m", "hetman_spark", "stream",
+             "--input", f"{scratch}/src", "--out", f"{scratch}/out",
+             "--master", "local[8]"],
+            capture_output=True, text=True, cwd=repo,
+        )
+        line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
+        if proc.returncode != 0 or not line:
+            return {"error": proc.stderr[-500:]}
+        d = json.loads(line)
+        keys = ("epochs", "rows_in", "sec", "processing_sec",
+                "pages_per_sec", "pages_per_sec_processing")
+        return {k: d[k] for k in keys if k in d}
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -234,6 +267,10 @@ def main() -> None:
     if os.environ.get("BENCH_SCALING", "1") != "0":
         pipeline = scaling_runs(rows)
 
+    streaming = {}
+    if os.environ.get("BENCH_STREAMING", "1") != "0":
+        streaming = streaming_run(max(rows // 4, 100_000))
+
     queries = time_queries(sf_dir, cpus)
 
     total = round(sum(queries.values()), 3)
@@ -244,8 +281,16 @@ def main() -> None:
         "queries": queries,
         "sf": sf_dir.rstrip("/").split("sf")[-1],
         "pipeline": pipeline,
+        "streaming": streaming,
     }
-    print(json.dumps(out))
+    # driver-proof delivery: the r2 capture truncated stdout's tail and
+    # lost the JSON ("parsed": null) — persist the canonical record to
+    # a file FIRST, then print (the file is the authoritative copy;
+    # BENCH_local.json stays the curated full-protocol record)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_result.json"), "w") as f:
+        json.dump(out, f)
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

@@ -239,6 +239,12 @@ def main(argv: list[str] | None = None) -> int:
         progress = q.recentProgress or []
         rows_in = sum(int(p["numInputRows"]) for p in progress)
         epochs = sum(1 for p in progress if int(p["numInputRows"]) > 0)
+        # pure micro-batch execution time (excludes the ~9s local JVM
+        # startup, which `sec` includes): the number comparable to the
+        # batch path's write-job seconds
+        proc_sec = sum(
+            (p.get("durationMs") or {}).get("triggerExecution", 0) for p in progress
+        ) / 1000.0
         sink_counts = {
             r["sink_id"]: r["n"]
             for r in spark.read.parquet(f"{args.out}/data")
@@ -253,7 +259,11 @@ def main(argv: list[str] | None = None) -> int:
             "rows_in": rows_in,
             "sink_counts": dict(sorted(sink_counts.items())),
             "sec": round(sec, 2),
+            "processing_sec": round(proc_sec, 2),
             "pages_per_sec": round(rows_in / sec, 1) if sec > 0 else None,
+            "pages_per_sec_processing": (
+                round(rows_in / proc_sec, 1) if proc_sec > 0 else None
+            ),
         }))
         return 0
 
