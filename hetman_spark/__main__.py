@@ -76,9 +76,14 @@ def main(argv: list[str] | None = None) -> int:
     args = ap.parse_args(argv)
 
     if args.cmd == "status":
-        from hetman_spark.plans.checkpoint import read_manifest
+        from hetman_spark.plans.checkpoint import read_batch_metrics, read_manifest
 
         entries = read_manifest(f"{args.out}/_manifest")
+        batches = read_batch_metrics(f"{args.out}/_metrics")
+        phase_totals: dict[str, float] = {}
+        for b in batches:
+            for k, v in (b.get("phase_secs") or {}).items():
+                phase_totals[k] = round(phase_totals.get(k, 0.0) + v, 3)
         # aggregate stage counters across committed splits (A3/A4 view:
         # the manifest is the durable record the OTel counters play)
         rows_in = sum(e.get("rows_in", 0) for e in entries)
@@ -96,6 +101,8 @@ def main(argv: list[str] | None = None) -> int:
                 "route.rows_routed": sum(routed.values()),
             },
             "sink_counts": dict(sorted(routed.items())),
+            "batches": len(batches),
+            "phase_secs": phase_totals,
             "entries": entries,
         }, indent=2))
         return 0

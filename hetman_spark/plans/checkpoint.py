@@ -58,6 +58,38 @@ def commit_split(manifest_dir: str, split_id: int, meta: dict | None = None) -> 
     os.replace(tmp, final)
 
 
+def append_batch_metrics(metrics_dir: str, entry: dict) -> None:
+    """Per-batch metrics feed (A3/A4 live view): one JSONL line per
+    commit batch, appended strictly AFTER that batch's manifest commit.
+    The reference graphs per-stage OTel counters in Grafana
+    (/root/reference/deploy/grafana/dashboard.json); this file is the
+    batch-dashboard feed — tail it, or aggregate via `status`.
+
+    A single O_APPEND write of one short line is atomic on POSIX; a
+    torn final line after a crash is tolerable for a metrics feed (the
+    manifest, not this file, is the source of truth for resume)."""
+    os.makedirs(metrics_dir, exist_ok=True)
+    line = json.dumps(entry) + "\n"
+    with open(os.path.join(metrics_dir, "batches.jsonl"), "a") as f:
+        f.write(line)
+        f.flush()
+
+
+def read_batch_metrics(metrics_dir: str) -> list[dict]:
+    """All batch metric entries (skipping a torn final line, if any)."""
+    path = os.path.join(metrics_dir, "batches.jsonl")
+    if not os.path.isfile(path):
+        return []
+    out = []
+    with open(path) as f:
+        for line in f:
+            try:
+                out.append(json.loads(line))
+            except json.JSONDecodeError:
+                break
+    return out
+
+
 def read_manifest(manifest_dir: str) -> list[dict]:
     """Full manifest entries (for lineage/reporting)."""
     entries = []

@@ -43,7 +43,11 @@ from hetman_spark.operators.html import make_full_extract_udf, with_html_fields
 from hetman_spark.operators.modify import apply_modifier
 from hetman_spark.operators.parse import parse_grok
 from hetman_spark.operators.route import route_explode, with_sink_tags
-from hetman_spark.plans.checkpoint import commit_split, committed_splits
+from hetman_spark.plans.checkpoint import (
+    append_batch_metrics,
+    commit_split,
+    committed_splits,
+)
 from hetman_spark.sources.lookup import DEFAULT_SINKS, lang_lookup, routes_df
 
 # nginx combined-log pattern for the embedded access-log line
@@ -552,8 +556,36 @@ def run_pipeline(
                 },
             )
 
-        result.phase_secs["commit"] = result.phase_secs.get("commit", 0.0) + (
-            _time.time() - _t2
+        _t3 = _time.time()
+        result.phase_secs["commit"] = result.phase_secs.get("commit", 0.0) + (_t3 - _t2)
+
+        # A3/A4 live feed: one JSONL line per commit batch (the batch
+        # analog of the reference's per-scrape OTel counter export),
+        # appended strictly after this batch's manifest commit.
+        batch_routes: dict[str, int] = {}
+        for m in per_split_routes.values():
+            for k, v in m.items():
+                batch_routes[k] = batch_routes.get(k, 0) + v
+        append_batch_metrics(
+            os.path.join(out_dir, "_metrics"),
+            {
+                "splits": batch,
+                "stage_counts": {
+                    "source.rows_in": int(p_metrics["rows_in"] or 0),
+                    "parse.rows_parsed": int(p_metrics["rows_parsed"] or 0),
+                    "parse.errors": int(
+                        (p_metrics["rows_in"] or 0) - (p_metrics["rows_parsed"] or 0)
+                    ),
+                    "route.rows_routed": int(r_metrics["rows_routed"] or 0),
+                },
+                "sink_counts": dict(sorted(batch_routes.items())),
+                "phase_secs": {
+                    "write_job": round(_t1 - _t0, 3),
+                    "lineage": round(_t2 - _t1, 3),
+                    "commit": round(_t3 - _t2, 3),
+                },
+                "committed_at": _t3,
+            },
         )
         result.splits_processed.extend(batch)
         for s in batch:

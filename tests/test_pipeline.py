@@ -73,6 +73,22 @@ def test_pipeline_end_to_end(spark, webtext_path, tmp_path):
     lineage = spark.read.parquet(os.path.join(out, "lineage"))
     assert lineage.agg(F.sum("rows_in")).collect()[0][0] == N_ROWS
 
+    # the per-batch metrics feed (A3/A4 live view) sums to the result
+    from hetman_spark.plans.checkpoint import read_batch_metrics
+
+    batches = read_batch_metrics(os.path.join(out, "_metrics"))
+    assert batches, "metrics feed missing"
+    assert sorted(s for b in batches for s in b["splits"]) == sorted(res.splits_processed)
+    for key, want in res.stage_counts.items():
+        assert sum(b["stage_counts"][key] for b in batches) == want
+    feed_sinks: dict[str, int] = {}
+    for b in batches:
+        for k, v in b["sink_counts"].items():
+            feed_sinks[k] = feed_sinks.get(k, 0) + v
+    assert feed_sinks == res.sink_counts
+    for b in batches:
+        assert set(b["phase_secs"]) == {"write_job", "lineage", "commit"}
+
 
 def test_resume_idempotent(spark, webtext_path, tmp_path):
     # (d) "kill" after 3 splits -> resume -> identical outputs, no dupes
