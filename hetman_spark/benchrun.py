@@ -53,7 +53,8 @@ def main() -> None:
             def flow(frame):
                 reb = build_parsed(frame).drop("html").hint("rebalance", "split_id")
                 return build_routed(reb.join(F.broadcast(lookup), "lang", "left"), routes,
-                                    disjoint_tags=tags_disjoint(DEFAULT_SINKS))
+                                    disjoint_tags=tags_disjoint(DEFAULT_SINKS),
+                                    sinks=DEFAULT_SINKS)
 
             # two warmup passes: small table, then the REAL input once —
             # one small pass leaves JIT cold and timings 2x noisy
@@ -89,7 +90,7 @@ def main() -> None:
             build_routed(
                 build_parsed(spark.read.parquet(args.input)).drop("html")
                 .hint("rebalance", "split_id").join(F.broadcast(_lk), "lang", "left"),
-                _rt, disjoint_tags=tags_disjoint(DEFAULT_SINKS),
+                _rt, disjoint_tags=tags_disjoint(DEFAULT_SINKS), sinks=DEFAULT_SINKS,
             ).write.format("noop").mode("overwrite").save()
 
         t0 = time.time()

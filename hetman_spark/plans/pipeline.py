@@ -42,7 +42,11 @@ from hetman_spark.operators.enrich import enrich_with_lookup
 from hetman_spark.operators.html import make_full_extract_udf, with_html_fields
 from hetman_spark.operators.modify import apply_modifier
 from hetman_spark.operators.parse import parse_grok
-from hetman_spark.operators.route import route_explode, with_sink_tags
+from hetman_spark.operators.route import (
+    route_explode,
+    route_explode_static,
+    with_sink_tags,
+)
 from hetman_spark.plans.checkpoint import (
     append_batch_metrics,
     commit_split,
@@ -186,10 +190,25 @@ def tags_disjoint(
     return all(not (set(s.add_tags) & reserved) for s in sinks)
 
 
-def build_routed(enriched: DataFrame, routes: DataFrame, disjoint_tags: bool = False) -> DataFrame:
+def build_routed(
+    enriched: DataFrame,
+    routes: DataFrame | None,
+    disjoint_tags: bool = False,
+    sinks: tuple[SinkConfig, ...] | None = None,
+) -> DataFrame:
     """Router + per-record sink tags; output row shape per FIXTURES §5:
-    (sink_id, url, warc_ts, text, tags, split_id, lang)."""
-    routed = route_explode(enriched, routes, predicate_cols=["lang", "status_class", "region"])
+    (sink_id, url, warc_ts, text, tags, split_id, lang).
+
+    When the sink list is known driver-side (always, in run_pipeline)
+    pass `sinks` — the router inlines the predicates and stays in
+    codegen (route_explode_static); `routes` as a DataFrame remains
+    the dynamic-table path."""
+    if sinks is not None:
+        routed = route_explode_static(
+            enriched, sinks, predicate_cols=["lang", "status_class", "region"]
+        )
+    else:
+        routed = route_explode(enriched, routes, predicate_cols=["lang", "status_class", "region"])
     routed = with_sink_tags(routed, parsed_col="parsed", labels_col="labels",
                             source_col="url", disjoint=disjoint_tags)
     return routed.select(
@@ -477,6 +496,7 @@ def run_pipeline(
         routed = build_routed(
             enrich(rebalanced), routes,
             disjoint_tags=not labeled_input_path and tags_disjoint(sinks, modifier),
+            sinks=sinks,
         )
         obs_route = Observation()
         routed = routed.observe(obs_route, F.count(F.lit(1)).alias("rows_routed"))
@@ -512,8 +532,9 @@ def run_pipeline(
         if matchall:
             in_counts, per_split_routes = _footer_lineage(data_dir, batch, matchall[0])
         else:
-            routed_l = route_explode(enrich(parsed), routes,
-                                     predicate_cols=["lang", "status_class", "region"])
+            routed_l = route_explode_static(
+                enrich(parsed), sinks,
+                predicate_cols=["lang", "status_class", "region"])
             stats_df = routed_l.groupBy("split_id", "sink_id").agg(
                 F.count(F.lit(1)).alias("n"),
             )

@@ -156,7 +156,8 @@ def streaming_pipeline(
             "spark.sql.sources.partitionOverwriteMode", "dynamic"
         )
         routed = build_routed(
-            batch_df.join(F.broadcast(lookup), "lang", "left"), routes, disjoint_tags=disjoint
+            batch_df.join(F.broadcast(lookup), "lang", "left"), routes,
+            disjoint_tags=disjoint, sinks=DEFAULT_SINKS,
         )
         (
             routed.withColumn("epoch_id", F.lit(int(epoch_id)))
