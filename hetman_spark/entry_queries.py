@@ -451,6 +451,80 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# Quality filter: Gopher-style integer-rule gate over documents —
+# first-failing-rule audit trail, never drops rows.
+# ---------------------------------------------------------------------------
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hetman_spark.functions.text import quality_filter
+
+    d = _t(spark, sf_dir, "documents")
+    return quality_filter(d).select("doc_id", "kept", "reason")
+
+
+# integer cross-multiplied rules, mirrored 1:1 from
+# functions/text.py:quality_filter; stop-word counting uses the same
+# length-difference trick as SQL_TEXT_STATS (DuckDB regexp_replace
+# needs 'g' to match Spark's replace-all).
+SQL_QUALITY_FILTER = r"""
+WITH m AS (
+  SELECT doc_id,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    CAST(CASE WHEN length(text) = 0 THEN 0
+         ELSE len(regexp_split_to_array(text, '\s+')) END AS BIGINT) AS n_tokens,
+    CAST(length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS BIGINT) AS alpha,
+    CAST((length(lower(text)) - length(regexp_replace(lower(text), '\bthe\b', '', 'g'))) / 3
+       + (length(lower(text)) - length(regexp_replace(lower(text), '\band\b', '', 'g'))) / 3
+       + (length(lower(text)) - length(regexp_replace(lower(text), '\bof\b', '', 'g'))) / 2
+       + (length(lower(text)) - length(regexp_replace(lower(text), '\bto\b', '', 'g'))) / 2
+       + (length(lower(text)) - length(regexp_replace(lower(text), '\bis\b', '', 'g'))) / 2
+       AS BIGINT) AS stop_hits
+  FROM documents
+)
+SELECT doc_id,
+       reason = 'ok' AS kept,
+       reason
+FROM (
+  SELECT doc_id,
+    CASE WHEN n_tokens < 10 THEN 'too_short'
+         WHEN n_tokens > 100000 THEN 'too_long'
+         WHEN n_chars < 2 * n_tokens THEN 'tokens_too_short'
+         WHEN n_chars > 12 * n_tokens THEN 'tokens_too_long'
+         WHEN 100 * alpha < 60 * n_chars THEN 'low_alpha'
+         WHEN stop_hits < 1 THEN 'no_stopwords'
+         ELSE 'ok' END AS reason
+  FROM m
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling: per-lang hash-threshold sample,
+# reproducible on any engine/cluster size (functions/sample.py).
+# ---------------------------------------------------------------------------
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hetman_spark.functions.sample import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        d, {"en": 0.5, "de": 1.0}, stratum_col="lang", key_col="doc_id",
+        default_frac=0.1,
+    ).select("doc_id", "lang")
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang FROM documents
+WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 's0'), 1, 8) AS BIGINT)
+  < CASE lang WHEN 'de' THEN {int(1.0 * (1 << 32))}
+              WHEN 'en' THEN {int(0.5 * (1 << 32))}
+              ELSE {int(0.1 * (1 << 32))} END
+"""
+
+
+# ---------------------------------------------------------------------------
 # MinHash banded LSH candidate pairs (md5 family => engine-agnostic)
 # ---------------------------------------------------------------------------
 
@@ -1262,6 +1336,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join_windows": q_range_join_windows,
     "simhash_groups": q_simhash_groups,
     "simhash_near_pairs": q_simhash_near_pairs,
+    "quality_filter": q_quality_filter,
+    "stratified_sample": q_stratified_sample,
     "webtext_route_counts": q_webtext_route_counts,
     "embedding_lsh_candidates": q_embedding_lsh_candidates,
     "ivf_topk": q_ivf_topk,
@@ -1295,6 +1371,8 @@ ORACLES: dict[str, str] = {
     "range_join_windows": SQL_RANGE_JOIN,
     "simhash_groups": SQL_SIMHASH_GROUPS,
     "simhash_near_pairs": SQL_SIMHASH_NEAR_PAIRS,
+    "quality_filter": SQL_QUALITY_FILTER,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "webtext_route_counts": _sql_webtext_route_counts(),
     "embedding_lsh_candidates": SQL_EMBEDDING_LSH,
     "ivf_topk": SQL_IVF_TOPK,

@@ -97,6 +97,47 @@ def fingerprint(text: Column, prefix_len: int = 256) -> Column:
     return F.xxhash64(normalized)
 
 
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    min_mean_token_len: int = 2,
+    max_mean_token_len: int = 12,
+    min_alpha_pct: int = 60,
+    min_stopword_hits: int = 1,
+) -> DataFrame:
+    """Gopher-style rule filter (Rae et al. 2021's repetition/length
+    heuristics, the standard web-corpus gate): attaches `kept` and the
+    FIRST failing rule as `reason` ('ok' when all pass).  Rows are
+    never dropped — filtering is the caller's `.where(col('kept'))`,
+    so rejected docs stay auditable (the same never-drop principle as
+    the parse stage's P6 passthrough).
+
+    Every rule is INTEGER arithmetic (cross-multiplied ratios), so the
+    verdict is bit-identical on any engine — float thresholds near a
+    boundary are not (see the ANN quantization note in similarity.py).
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t).cast("long")
+    n_tokens = token_count(t)
+    alpha = F.length(F.regexp_replace(t, r"[^\p{L}]", "")).cast("long")
+    stop_hits = sum(
+        (word_count(F.lower(t), w) for w in _LANG_MARKERS["en"]),
+        F.lit(0).cast("long"),
+    )
+    reason = (
+        F.when(n_tokens < min_tokens, F.lit("too_short"))
+        .when(n_tokens > max_tokens, F.lit("too_long"))
+        .when(n_chars < min_mean_token_len * n_tokens, F.lit("tokens_too_short"))
+        .when(n_chars > max_mean_token_len * n_tokens, F.lit("tokens_too_long"))
+        .when(100 * alpha < min_alpha_pct * n_chars, F.lit("low_alpha"))
+        .when(stop_hits < min_stopword_hits, F.lit("no_stopwords"))
+        .otherwise(F.lit("ok"))
+    )
+    return df.withColumn("reason", reason).withColumn("kept", F.col("reason") == "ok")
+
+
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-stop: quality signals + lang guess + fingerprint."""
     out = quality_signals(df, text_col)

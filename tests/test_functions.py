@@ -157,3 +157,58 @@ def test_shingles_short_text_empty(spark):
            df.select("doc_id", shingles(F.col("text"), 3).alias("sh")).collect()}
     assert out[1] == []
     assert out[2] == ["one two three"]
+
+
+def test_deterministic_sample_nested_and_stable(spark):
+    from hetman_spark.functions.sample import deterministic_sample
+
+    pop = spark.range(2000).withColumnRenamed("id", "doc_id")
+    s10 = {r["doc_id"] for r in deterministic_sample(pop, 0.1).select("doc_id").collect()}
+    s20 = {r["doc_id"] for r in deterministic_sample(pop, 0.2).select("doc_id").collect()}
+    # a 10% draw of 2000 keys lands near 200; sanity the rate
+    assert 120 <= len(s10) <= 280
+    # nested: the 10% draw is a strict subset of the 20% draw (same salt)
+    assert s10 <= s20
+    # deterministic: a second evaluation (different partitioning) is identical
+    again = {
+        r["doc_id"]
+        for r in deterministic_sample(pop.repartition(7), 0.1).select("doc_id").collect()
+    }
+    assert again == s10
+    # a different salt draws a (near-certainly) different set
+    other = {
+        r["doc_id"]
+        for r in deterministic_sample(pop, 0.1, salt="s1").select("doc_id").collect()
+    }
+    assert other != s10
+
+
+def test_stratified_sample_rates(spark, docs):
+    from hetman_spark.functions.sample import stratified_sample
+
+    out = stratified_sample(docs, {"en": 1.0}, default_frac=0.0)
+    got = {r["lang"] for r in out.select("lang").distinct().collect()}
+    assert got == {"en"}  # full en stratum, nothing else
+    n_en = docs.filter("lang = 'en'").count()
+    assert out.count() == n_en
+
+
+def test_quality_filter_reasons(spark):
+    from hetman_spark.functions.text import quality_filter
+
+    rows = [
+        (1, "the cat and the dog went to the park and sat by the old tree"),  # ok
+        (2, "too short"),                                # < 10 tokens
+        (3, "a b c d e f g h i j k l m n o p"),          # mean token len < 2
+        (4, "1 2 3 4 5 6 7 8 9 10 11 12 13 14"),         # low alpha
+        (5, "uno dos tres cuatro cinco seis siete ocho nueve diez once doce"),  # no EN stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["reason"] for r in quality_filter(df).collect()}
+    assert got[1] == "ok"
+    assert got[2] == "too_short"
+    assert got[3] == "tokens_too_short"
+    assert got[4] == "low_alpha"
+    assert got[5] == "no_stopwords"
+    kept = {r["doc_id"] for r in quality_filter(df).filter("kept").collect()}
+    assert kept == {1}
