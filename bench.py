@@ -21,6 +21,9 @@ Prints ONE JSON line. Env knobs:
   BENCH_SCALING        "0" to skip the two-parallelism pipeline runs
   BENCH_REPS           interleaved rounds (default 3)
   BENCH_MAX_REPS       extra rounds while rep spread >1.25x (default 5)
+  BENCH_STREAMING      "0" to skip the Structured Streaming drain block
+  BENCH_MULTI_EXEC     "1" to add the N vs 4N separate-executor-JVM pair
+                       (local-cluster; correctness evidence, see BENCH.md)
 """
 
 from __future__ import annotations
@@ -222,6 +225,63 @@ def scaling_runs(rows: int) -> dict:
     return results
 
 
+def multi_exec_runs(rows: int) -> dict:
+    """North-rule literal shape: N vs 4N separate EXECUTOR JVMs
+    (local-cluster[N,1,3072]), pinned to matching cpusets.  Records
+    per-sink count equality across executor counts plus both
+    throughputs.  Off by default (BENCH_MULTI_EXEC=1): at 442 MB the
+    absolute numbers are dominated by per-executor JVM fixed costs
+    (BENCH.md round-3 section), so the threaded pinned pair stays the
+    headline; this block is the multi-executor correctness evidence."""
+    repo = os.path.dirname(os.path.abspath(__file__))
+    scratch = tempfile.mkdtemp(prefix="bench-mx-")
+    try:
+        subprocess.run(
+            [sys.executable, "-m", "hetman_spark", "generate",
+             "--out", f"{scratch}/main", "--rows", str(rows),
+             "--splits", "16", "--files-per-split", "4", "--master", "local[16]"],
+            capture_output=True, text=True, cwd=repo, check=True,
+        )
+        subprocess.run(
+            [sys.executable, "-m", "hetman_spark", "generate",
+             "--out", f"{scratch}/warmup", "--rows", str(max(rows // 40, 2000)),
+             "--splits", "4", "--master", "local[16]"],
+            capture_output=True, text=True, cwd=repo, check=True,
+        )
+        best: dict[str, dict] = {}
+        for _ in range(2):
+            for label, cpuset, master in [
+                ("N_2exec", "0,1", "local-cluster[2,1,3072]"),
+                ("4N_8exec", "0-7", "local-cluster[8,1,3072]"),
+            ]:
+                _wait_quiet()
+                proc = subprocess.run(
+                    ["taskset", "-c", cpuset,
+                     sys.executable, "-m", "hetman_spark.benchrun",
+                     "--master", master, "--input", f"{scratch}/main",
+                     "--warmup-input", f"{scratch}/warmup", "--light-warmup"],
+                    capture_output=True, text=True, cwd=repo,
+                )
+                line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
+                if proc.returncode != 0 or not line:
+                    best.setdefault(label, {"error": proc.stderr[-300:]})
+                    continue
+                d = json.loads(line)
+                if "sec" not in best.get(label, {}) or d["sec"] < best[label]["sec"]:
+                    best[label] = d
+        out: dict = dict(best)
+        if "sink_counts" in best.get("N_2exec", {}) and "sink_counts" in best.get("4N_8exec", {}):
+            out["sink_counts_identical_multi_exec"] = (
+                best["N_2exec"]["sink_counts"] == best["4N_8exec"]["sink_counts"]
+            )
+            out["scaling_efficiency_multi_exec"] = round(
+                best["4N_8exec"]["pages_per_sec"] / (4 * best["N_2exec"]["pages_per_sec"]), 3
+            )
+        return out
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
 def streaming_run(rows: int) -> dict:
     """The reference's identity is a continuous tailer — record the
     Structured Streaming twin's throughput, not just the batch path:
@@ -271,6 +331,10 @@ def main() -> None:
     if os.environ.get("BENCH_STREAMING", "1") != "0":
         streaming = streaming_run(max(rows // 4, 100_000))
 
+    multi_exec = {}
+    if os.environ.get("BENCH_MULTI_EXEC", "0") == "1":
+        multi_exec = multi_exec_runs(rows)
+
     queries = time_queries(sf_dir, cpus)
 
     total = round(sum(queries.values()), 3)
@@ -282,6 +346,7 @@ def main() -> None:
         "sf": sf_dir.rstrip("/").split("sf")[-1],
         "pipeline": pipeline,
         "streaming": streaming,
+        **({"multi_exec": multi_exec} if multi_exec else {}),
     }
     # driver-proof delivery: the r2 capture truncated stdout's tail and
     # lost the JSON ("parsed": null) — persist the canonical record to

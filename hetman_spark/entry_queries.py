@@ -1250,7 +1250,9 @@ FROM h
 """
 
 
-_WEBTEXT_ORACLE_PATH = "/tmp/hetman_spark_oracle_webtext"
+# versioned path: bump the suffix if the generator ever changes, so a
+# stale cached table can never satisfy a newer fixture
+_WEBTEXT_ORACLE_PATH = "/tmp/hetman_spark_oracle_webtext_v1_20000"
 
 
 def q_webtext_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1260,12 +1262,21 @@ def q_webtext_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     path so the DuckDB oracle can read the SAME bytes and re-derive the
     routing independently (regex over the decoded html for the status
     class + an inline lang->region mapping) — full parity for the
-    flagship pipeline query instead of rows-only."""
+    flagship pipeline query instead of rows-only.
+
+    The table is deterministic, so materialization is IDEMPOTENT: a
+    completed prior write (any *.parquet under the versioned path) is
+    reused — the recorded per-query timing then measures the pipeline,
+    not the fixture generator (~3.7s of the r2 bench number was
+    regeneration)."""
+    import glob as _glob
+
     from hetman_spark.plans.pipeline import build_parsed, build_routed, tags_disjoint
     from hetman_spark.sources.lookup import DEFAULT_SINKS, lang_lookup, routes_df
     from hetman_spark.sources.webtext import write_webtext
 
-    write_webtext(spark, _WEBTEXT_ORACLE_PATH, 20_000, n_splits=8)
+    if not _glob.glob(f"{_WEBTEXT_ORACLE_PATH}/*/*.parquet"):
+        write_webtext(spark, _WEBTEXT_ORACLE_PATH, 20_000, n_splits=8)
     df = spark.read.parquet(_WEBTEXT_ORACLE_PATH)
     flow = build_routed(
         build_parsed(df).drop("html").join(F.broadcast(lang_lookup(spark)), "lang", "left"),
