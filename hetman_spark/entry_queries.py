@@ -1198,6 +1198,78 @@ SELECT query_id, neighbor_id, dot_q, rank FROM (
 """
 
 
+def q_ivf_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF: each query probes its own cell + the 2
+    lowest-|dot| plane flips (similarity.ivf_topk_multiprobe) —
+    strictly higher recall than q_ivf_topk at the same index layout."""
+    from hetman_spark.functions.similarity import ivf_topk_multiprobe
+
+    e = _t(spark, sf_dir, "embeddings")
+    dim = e.select(F.size("embedding")).first()[0]
+    queries = e.orderBy("vec_id").limit(3)
+    return ivf_topk_multiprobe(e, queries, k=5, planes=8, nprobe=3, dim=dim).select(
+        "query_id", "neighbor_id", "dot_q", "rank"
+    )
+
+
+def _sql_plane_dots(planes: int, seed: int = 42, qv: str = "vq") -> str:
+    """DuckDB list literal of the per-plane integer dots — the twin of
+    similarity.plane_dots_int over a quantized list column `qv`."""
+    dots = []
+    for p in range(planes):
+        comp = (
+            f"((CAST(('0x' || substr(md5('{seed}-{p}-' || CAST(d AS VARCHAR)), 1, 6)) "
+            f"AS BIGINT) % 2001) - 1000)"
+        )
+        dots.append(
+            f"CAST(list_sum(list_transform(range(0, len({qv})), "
+            f"d -> {qv}[d+1] * {comp})) AS BIGINT)"
+        )
+    return "[" + ", ".join(dots) + "]"
+
+
+def _sql_cell_from_dots(planes: int, dts: str = "dts") -> str:
+    terms = [
+        f"(CASE WHEN {dts}[{p + 1}] >= 0 THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"
+        for p in range(planes)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+SQL_IVF_TOPK_MULTIPROBE = f"""
+WITH qe AS (
+  SELECT vec_id, {_sql_quantized("embedding")} AS vq FROM embeddings
+), pd AS (
+  SELECT vec_id, vq, {_sql_plane_dots(8)} AS dts FROM qe
+), cells AS (
+  SELECT vec_id, vq, dts, {_sql_cell_from_dots(8)} AS cell FROM pd
+), queries AS (
+  SELECT * FROM cells ORDER BY vec_id LIMIT 3
+), probes AS (
+  SELECT vec_id, vq,
+         unnest(list_distinct(list_prepend(cell,
+           list_transform(
+             list_slice(
+               list_sort(list_transform(range(0, 8),
+                         p -> {{'a': abs(dts[p+1]), 'p': p}})),
+               1, 2),
+             s -> xor(cell, CAST(1 AS BIGINT) << s.p))))) AS cell
+  FROM queries
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(range(0, len(c.vq)),
+              d -> c.vq[d+1] * q.vq[d+1])) AS BIGINT) AS dot_q
+  FROM cells c JOIN probes q ON c.cell = q.cell AND c.vec_id != q.vec_id
+)
+SELECT query_id, neighbor_id, dot_q, rank FROM (
+  SELECT query_id, neighbor_id, dot_q,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dot_q DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # Multimodal feature extraction — the stub decoders are deterministic
 # integer arithmetic over md5-derived payload bytes, so DuckDB can
@@ -1352,6 +1424,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "webtext_route_counts": q_webtext_route_counts,
     "embedding_lsh_candidates": q_embedding_lsh_candidates,
     "ivf_topk": q_ivf_topk,
+    "ivf_topk_multiprobe": q_ivf_topk_multiprobe,
     "multimodal_features": q_multimodal_features,
 }
 
@@ -1387,5 +1460,6 @@ ORACLES: dict[str, str] = {
     "webtext_route_counts": _sql_webtext_route_counts(),
     "embedding_lsh_candidates": SQL_EMBEDDING_LSH,
     "ivf_topk": SQL_IVF_TOPK,
+    "ivf_topk_multiprobe": SQL_IVF_TOPK_MULTIPROBE,
     "multimodal_features": SQL_MULTIMODAL,
 }

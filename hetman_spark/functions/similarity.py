@@ -168,20 +168,14 @@ def _md5_component_py(salt: str, d: int) -> int:
     return int(h6, 16) % 2001 - 1000
 
 
-def hyperplane_code_int(
+def plane_dots_int(
     vec: Column, planes: int = 8, seed: int = 42, dim: int | None = None
 ) -> Column:
-    """Engine-agnostic IVF/LSH cell id: sign pattern of md5-derived
-    integer hyperplanes over the QUANTIZED vector.  All arithmetic is
-    BIGINT, so the cell assignment is bit-identical in Spark and
-    DuckDB — no float sign-boundary risk (a dot product near zero
-    must not flip buckets between engines).
-
-    The plane matrix is a CONSTANT: pass `dim` to precompute it
-    driver-side as literal arrays (no per-row md5 — planes×dim md5
-    calls per row otherwise; at corpus scale the plane matrix is the
-    thing you broadcast, not recompute).  Without dim, falls back to
-    per-row derivation for variable-width vectors."""
+    """array<long> of the per-plane integer dot products of the
+    QUANTIZED vector against the md5-derived hyperplane matrix.  The
+    SIGNS form the IVF cell id (hyperplane_code_int); the MAGNITUDES
+    rank which planes are lowest-confidence — the flip candidates for
+    multi-probe (probe_cells_int)."""
     qv = quantize_vec(vec)
 
     def comps(p: int) -> Column:
@@ -200,12 +194,67 @@ def hyperplane_code_int(
             lambda acc, x: acc + x,
         )
 
+    return F.array(*[int_dot(p) for p in range(planes)])
+
+
+def _cell_from_dots(dts: Column, planes: int) -> Column:
     code = F.lit(0).cast("long")
     for p in range(planes):
-        code = code + F.when(int_dot(p) >= 0, F.lit(1 << p).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+        code = code + F.when(
+            F.element_at(dts, p + 1) >= 0, F.lit(1 << p).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
     return code
+
+
+def hyperplane_code_int(
+    vec: Column, planes: int = 8, seed: int = 42, dim: int | None = None
+) -> Column:
+    """Engine-agnostic IVF/LSH cell id: sign pattern of md5-derived
+    integer hyperplanes over the QUANTIZED vector.  All arithmetic is
+    BIGINT, so the cell assignment is bit-identical in Spark and
+    DuckDB — no float sign-boundary risk (a dot product near zero
+    must not flip buckets between engines).
+
+    The plane matrix is a CONSTANT: pass `dim` to precompute it
+    driver-side as literal arrays (no per-row md5 — planes×dim md5
+    calls per row otherwise; at corpus scale the plane matrix is the
+    thing you broadcast, not recompute).  Without dim, falls back to
+    per-row derivation for variable-width vectors."""
+    return _cell_from_dots(plane_dots_int(vec, planes, seed, dim), planes)
+
+
+def probe_cells_int(
+    vec: Column,
+    planes: int = 8,
+    nprobe: int = 3,
+    seed: int = 42,
+    dim: int | None = None,
+) -> Column:
+    """Multi-probe cell list (Lv et al., "Multi-Probe LSH", VLDB'07,
+    re-expressed as array expressions): the query's own cell plus the
+    nprobe-1 Hamming-adjacent cells obtained by flipping the planes
+    with the smallest |dot| — the lowest-confidence signs, i.e. the
+    cells a true neighbor most plausibly fell into.  Raises recall
+    without growing the index; the probe fan-out is a query-side
+    explode, the corpus stays single-cell-assigned and
+    partition-prunable.  Integer arithmetic end-to-end (engine-agnostic
+    ties: (|dot|, plane) sort key both sides)."""
+    dts = plane_dots_int(vec, planes, seed, dim)
+    cell = _cell_from_dots(dts, planes)
+    masks = F.array(*[F.lit(1 << p).cast("long") for p in range(planes)])
+    ranked = F.array_sort(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(planes - 1)),
+            lambda p: F.struct(
+                F.abs(F.element_at(dts, p + 1)).alias("a"), p.alias("p")
+            ),
+        )
+    )
+    flips = F.transform(
+        F.slice(ranked, 1, nprobe - 1),
+        lambda s: cell.bitwiseXOR(F.element_at(masks, s.getField("p") + 1)),
+    )
+    return F.array_distinct(F.concat(F.array(cell), flips))
 
 
 def int_dot_sim(a_quant: Column, b_quant: Column) -> Column:
@@ -246,6 +295,56 @@ def ivf_topk_quantized(
         F.col(id_col).alias("query_id"),
         quantize_vec(F.col(vec_col)).alias("qq"),
         hyperplane_code_int(F.col(vec_col), planes, dim=dim).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            int_dot_sim(F.col("cq"), F.col("qq")).alias("dot_q"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot_q").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dot_q", "rank")
+    )
+
+
+def ivf_topk_multiprobe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    planes: int = 8,
+    nprobe: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """IVF probe with multi-probe recall boost: each query explodes
+    into its nprobe candidate cells (probe_cells_int) and equi-joins
+    the single-cell-assigned corpus — same scale shape as
+    ivf_topk_quantized (broadcast query side, hash join on cell,
+    window top-k) with a ≤nprobe× query fan-out and unchanged corpus
+    layout.  A (query, neighbor) pair meets at most once because a
+    corpus row lives in exactly ONE cell and the probe list is
+    distinct — no dedup shuffle needed."""
+    from pyspark.sql import Window
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        quantize_vec(F.col(vec_col)).alias("cq"),
+        hyperplane_code_int(F.col(vec_col), planes, dim=dim).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        quantize_vec(F.col(vec_col)).alias("qq"),
+        F.explode(
+            probe_cells_int(F.col(vec_col), planes, nprobe=nprobe, dim=dim)
+        ).alias("cell"),
     )
     scored = (
         c.join(F.broadcast(q), "cell")

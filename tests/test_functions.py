@@ -212,3 +212,34 @@ def test_quality_filter_reasons(spark):
     assert got[5] == "no_stopwords"
     kept = {r["doc_id"] for r in quality_filter(df).filter("kept").collect()}
     assert kept == {1}
+
+
+def test_ivf_multiprobe_superset_of_single_probe(spark, vectors):
+    """Multi-probe explores the own cell FIRST: every single-probe
+    neighbor is still a candidate, so per-query recall can only grow
+    (candidate sets are supersets) and top-ranked results at least as
+    similar."""
+    from hetman_spark.functions.similarity import (
+        ivf_topk_multiprobe,
+        ivf_topk_quantized,
+        probe_cells_int,
+        hyperplane_code_int,
+    )
+    from pyspark.sql import functions as F
+
+    dim = vectors.select(F.size("embedding")).first()[0]
+    queries = vectors.orderBy("vec_id").limit(3)
+    single = ivf_topk_quantized(vectors, queries, k=5, dim=dim)
+    multi = ivf_topk_multiprobe(vectors, queries, k=5, nprobe=3, dim=dim)
+    # probe list contains the own cell for every row
+    chk = vectors.select(
+        hyperplane_code_int(F.col("embedding"), dim=dim).alias("cell"),
+        probe_cells_int(F.col("embedding"), nprobe=3, dim=dim).alias("probes"),
+    ).withColumn("ok", F.array_contains("probes", F.col("cell")))
+    assert chk.filter(~F.col("ok")).count() == 0
+    assert chk.filter(F.size("probes") != 3).count() == 0
+    # with more candidates, the k-th best dot per query can only improve
+    s = {r["query_id"]: r["dot_q"] for r in single.where("rank = 1").collect()}
+    m = {r["query_id"]: r["dot_q"] for r in multi.where("rank = 1").collect()}
+    for qid, best in s.items():
+        assert m[qid] >= best
