@@ -294,6 +294,15 @@ def main(argv: list[str] | None = None) -> int:
             r["lang_guess"]: r["n"]
             for r in stats.groupBy("lang_guess").agg(F.count(F.lit(1)).alias("n")).collect()
         }
+        # quality gate summary (Gopher-style integer rules): how much
+        # of the corpus a standard filter keeps, and why docs fail
+        from hetman_spark.functions.text import quality_filter
+
+        qf = quality_filter(docs)
+        reasons = {
+            r["reason"]: r["n"]
+            for r in qf.groupBy("reason").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
         dup_groups = exact_dedup(docs).filter(F.col("n_copies") > 1)
         exact_dupes = dup_groups.agg(
             F.coalesce(F.sum(F.col("n_copies") - 1), F.lit(0)).alias("removable")
@@ -317,6 +326,8 @@ def main(argv: list[str] | None = None) -> int:
             "avg_token_len": round(summary["avg_token_len"], 2),
             "avg_alpha_ratio": round(summary["avg_alpha_ratio"], 4),
             "lang_guess_counts": langs,
+            "quality_kept": reasons.get("ok", 0),
+            "quality_reject_reasons": {k: v for k, v in sorted(reasons.items()) if k != "ok"},
             "exact_dup_removable": exact_dupes,
             "simhash_dup_removable": simhash_dupes,
             "minhash_candidate_pairs": near_pairs,

@@ -388,6 +388,35 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_events_user_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly ACTIVE-USER counts: windowed COUNT DISTINCT over the
+    event stream — the 'unique users' metric every telemetry dashboard
+    layers on hetman's plain counters (the reference has no distinct
+    aggregation at all, SURVEY §2.8).  Exact distinct rather than
+    approx_count_distinct: the HLL sketch is engine-specific and
+    merge-order dependent, unusable under a cross-engine value-hash
+    oracle; at 100 TB the exact form is still one partial-aggregated
+    shuffle of (hour, user_id) pairs."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH").alias("hour")
+        )
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+SQL_EVENTS_USER_WINDOWS = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       count(*) AS n_events
+FROM events GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Router fan-out: per-ROW equality (stronger than counts)
 # ---------------------------------------------------------------------------
@@ -1405,6 +1434,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": q_text_stats,
     "ann_cosine_topk": q_ann_cosine_topk,
     "events_windowed": q_events_windowed,
+    "events_user_windows": q_events_user_windows,
     "route_fanout_rows": q_route_fanout_rows,
     "lang_scores": q_lang_scores,
     "minhash_band_pairs": q_minhash_band_pairs,
@@ -1441,6 +1471,7 @@ ORACLES: dict[str, str] = {
     "text_stats": SQL_TEXT_STATS,
     "ann_cosine_topk": SQL_ANN_TOPK,
     "events_windowed": SQL_EVENTS_WINDOWED,
+    "events_user_windows": SQL_EVENTS_USER_WINDOWS,
     "route_fanout_rows": SQL_ROUTE_FANOUT_ROWS,
     "lang_scores": SQL_LANG_SCORES,
     "minhash_band_pairs": SQL_MINHASH_PAIRS,
