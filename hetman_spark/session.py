@@ -73,6 +73,9 @@ def get_spark(
         # overwrite for idempotent commits (batch manifest + streaming
         # epoch sink); static mode would wipe sibling partitions
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # the `stream` CLI sums rows over recentProgress; the default
+        # 100-entry window would undercount drains of >100 micro-batches
+        .config("spark.sql.streaming.numRecentProgressUpdates", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
     )
     if os.environ.get("HETMAN_SPARK_KAFKA_PACKAGES"):

@@ -73,10 +73,15 @@ def test_simhash_near_pairs_finds_exact_dups(spark, sf_dir):
 
 
 def test_quantized_ann_entries_are_bucketed(spark, sf_dir):
-    from hetman_spark.entry_queries import q_embedding_lsh_candidates, q_ivf_topk
+    from hetman_spark.entry_queries import (
+        q_embedding_lsh_candidates,
+        q_ivf_topk,
+        q_ivf_topk_multiprobe,
+    )
 
     _assert_equi_join_only(q_embedding_lsh_candidates(spark, sf_dir))
     _assert_equi_join_only(q_ivf_topk(spark, sf_dir))
+    _assert_equi_join_only(q_ivf_topk_multiprobe(spark, sf_dir))
 
 
 def test_entry_band_pairs_match_library_shape(spark, sf_dir):
