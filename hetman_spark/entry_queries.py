@@ -516,7 +516,8 @@ SELECT doc_id,
        reason
 FROM (
   SELECT doc_id,
-    CASE WHEN n_tokens < 10 THEN 'too_short'
+    CASE WHEN n_chars IS NULL THEN 'empty'
+         WHEN n_tokens < 10 THEN 'too_short'
          WHEN n_tokens > 100000 THEN 'too_long'
          WHEN n_chars < 2 * n_tokens THEN 'tokens_too_short'
          WHEN n_chars > 12 * n_tokens THEN 'tokens_too_long'

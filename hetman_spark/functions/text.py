@@ -127,7 +127,10 @@ def quality_filter(
         F.lit(0).cast("long"),
     )
     reason = (
-        F.when(n_tokens < min_tokens, F.lit("too_short"))
+        # explicit null guard: every comparison below is NULL for a
+        # NULL text, which would fall through to 'ok'
+        F.when(t.isNull(), F.lit("empty"))
+        .when(n_tokens < min_tokens, F.lit("too_short"))
         .when(n_tokens > max_tokens, F.lit("too_long"))
         .when(n_chars < min_mean_token_len * n_tokens, F.lit("tokens_too_short"))
         .when(n_chars > max_mean_token_len * n_tokens, F.lit("tokens_too_long"))
