@@ -555,6 +555,116 @@ WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 's0'), 1, 8) AS BIGINT)
 
 
 # ---------------------------------------------------------------------------
+# Decontamination: corpus docs sharing n-gram shingles with a held-out
+# eval set — the benchmark-leak scan every training-data pipeline runs
+# before a model sees the corpus.
+# ---------------------------------------------------------------------------
+
+
+def q_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus docs (doc_id >= 10) that share at least one 5-gram
+    shingle with the 'eval' set (doc_id < 10): inverted-index
+    equi-join on the shingle string.  Scale shape: the eval side is
+    tiny and broadcast (its exploded shingles are the inverted index);
+    the corpus side streams through map-side — no corpus shuffle.  A
+    (corpus, eval) pair's n_shared counts DISTINCT shared shingles,
+    which is a plain count(*) here because shingles() emits distinct
+    grams per doc."""
+    from hetman_spark.functions.dedup import shingles
+
+    d = _tp(spark, sf_dir, "documents")
+    sh_eval = d.where(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("eval_id"), F.explode(shingles(F.col("text"), 5)).alias("sh")
+    )
+    sh_corpus = d.where(F.col("doc_id") >= 10).select(
+        "doc_id", F.explode(shingles(F.col("text"), 5)).alias("sh")
+    )
+    return (
+        sh_corpus.join(F.broadcast(sh_eval), "sh")
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+def _sql_shingles_n(n: int) -> str:
+    """DuckDB twin of dedup.shingles for gram size n (distinct,
+    lowercase, space-joined)."""
+    gram = " || ' ' || ".join(
+        f"string_split(lower(text), ' ')[i+{j}]" for j in range(n)
+    ).replace("[i+0]", "[i]")
+    return f"""
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(string_split(lower(text), ' ')) - {n - 1}, 0) + 1),
+           i -> {gram}
+         )) AS sh
+  FROM documents
+"""
+
+
+SQL_CONTAMINATION = f"""
+WITH sh AS ({_sql_shingles_n(5)}),
+ev AS (
+  SELECT doc_id AS eval_id, unnest(sh) AS g FROM sh WHERE doc_id < 10
+), corp AS (
+  SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id >= 10
+)
+SELECT c.doc_id, e.eval_id, count(*) AS n_shared
+FROM corp c JOIN ev e ON c.g = e.g
+GROUP BY c.doc_id, e.eval_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Repetition stats: Gopher's duplicate-n-gram signal — the fraction of
+# a doc that is repeated trigrams (boilerplate/template detector).
+# ---------------------------------------------------------------------------
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc trigram repetition: total trigram occurrences vs
+    distinct trigrams; n_repeated = total - distinct is the Gopher
+    'duplicate n-gram' numerator.  Pure per-row array expressions —
+    no shuffle, no explode."""
+    d = _tp(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.col("text")), r"\s+")
+    k = F.size(words) - F.lit(2)
+    grams = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, 3)),
+    )
+    grams = F.when(k > 0, grams).otherwise(F.array().cast("array<string>"))
+    total = F.size(grams).cast("long")
+    distinct = F.size(F.array_distinct(grams)).cast("long")
+    return d.select(
+        "doc_id",
+        total.alias("n_grams"),
+        distinct.alias("n_distinct"),
+        (total - distinct).alias("n_repeated"),
+    )
+
+
+SQL_REPETITION = """
+WITH g AS (
+  SELECT doc_id,
+         CASE WHEN len(string_split(lower(text), ' ')) >= 3
+              THEN list_transform(
+                     range(1, len(string_split(lower(text), ' ')) - 2 + 1),
+                     i -> string_split(lower(text), ' ')[i] || ' ' ||
+                          string_split(lower(text), ' ')[i+1] || ' ' ||
+                          string_split(lower(text), ' ')[i+2])
+              ELSE [] END AS grams
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(grams) AS BIGINT) AS n_grams,
+       CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+       CAST(len(grams) - len(list_distinct(grams)) AS BIGINT) AS n_repeated
+FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
 # MinHash banded LSH candidate pairs (md5 family => engine-agnostic)
 # ---------------------------------------------------------------------------
 
@@ -1451,6 +1561,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_groups": q_simhash_groups,
     "simhash_near_pairs": q_simhash_near_pairs,
     "quality_filter": q_quality_filter,
+    "contamination_overlap": q_contamination_overlap,
+    "repetition_stats": q_repetition_stats,
     "stratified_sample": q_stratified_sample,
     "webtext_route_counts": q_webtext_route_counts,
     "embedding_lsh_candidates": q_embedding_lsh_candidates,
@@ -1488,6 +1600,8 @@ ORACLES: dict[str, str] = {
     "simhash_groups": SQL_SIMHASH_GROUPS,
     "simhash_near_pairs": SQL_SIMHASH_NEAR_PAIRS,
     "quality_filter": SQL_QUALITY_FILTER,
+    "contamination_overlap": SQL_CONTAMINATION,
+    "repetition_stats": SQL_REPETITION,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "webtext_route_counts": _sql_webtext_route_counts(),
     "embedding_lsh_candidates": SQL_EMBEDDING_LSH,
