@@ -554,6 +554,27 @@ WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 's0'), 1, 8) AS BIGINT)
 """
 
 
+def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus mix (docs / chars / languages): the data-mix
+    table a training pipeline weights sources by — one
+    partial-aggregated shuffle of (source, ...) pairs at any scale."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.count_distinct("lang").alias("n_langs"),
+    )
+
+
+SQL_SOURCE_MIX = """
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+FROM documents GROUP BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # Decontamination: corpus docs sharing n-gram shingles with a held-out
 # eval set — the benchmark-leak scan every training-data pipeline runs
@@ -1562,6 +1583,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_near_pairs": q_simhash_near_pairs,
     "quality_filter": q_quality_filter,
     "contamination_overlap": q_contamination_overlap,
+    "source_mix": q_source_mix,
     "repetition_stats": q_repetition_stats,
     "stratified_sample": q_stratified_sample,
     "webtext_route_counts": q_webtext_route_counts,
@@ -1601,6 +1623,7 @@ ORACLES: dict[str, str] = {
     "simhash_near_pairs": SQL_SIMHASH_NEAR_PAIRS,
     "quality_filter": SQL_QUALITY_FILTER,
     "contamination_overlap": SQL_CONTAMINATION,
+    "source_mix": SQL_SOURCE_MIX,
     "repetition_stats": SQL_REPETITION,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "webtext_route_counts": _sql_webtext_route_counts(),
