@@ -84,6 +84,19 @@ def test_quantized_ann_entries_are_bucketed(spark, sf_dir):
     _assert_equi_join_only(q_ivf_topk_multiprobe(spark, sf_dir))
 
 
+def test_contamination_is_broadcast_inverted_index(spark, sf_dir):
+    """Decontamination must broadcast the tiny eval shingle index and
+    stream the corpus map-side — a sort-merge join here would shuffle
+    the whole corpus's exploded shingles at 100 TB."""
+    from hetman_spark.entry_queries import q_contamination_overlap
+
+    df = q_contamination_overlap(spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    for shape in (*FORBIDDEN, "SortMergeJoin"):
+        assert shape not in plan
+
+
 def test_entry_band_pairs_match_library_shape(spark, sf_dir):
     """The entry query and the library operator agree on the planted
     exact-duplicate pairs (sanity: the rewrite kept the semantics)."""
