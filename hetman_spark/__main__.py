@@ -252,13 +252,18 @@ def main(argv: list[str] | None = None) -> int:
         proc_sec = sum(
             (p.get("durationMs") or {}).get("triggerExecution", 0) for p in progress
         ) / 1000.0
-        sink_counts = {
-            r["sink_id"]: r["n"]
-            for r in spark.read.parquet(f"{args.out}/data")
-            .groupBy("sink_id")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
+        # a zero-epoch drain (no input files) writes nothing under
+        # {out}/data — reading it unconditionally raises PATH_NOT_FOUND;
+        # report an empty run instead
+        sink_counts = {}
+        if rows_in > 0:
+            sink_counts = {
+                r["sink_id"]: r["n"]
+                for r in spark.read.parquet(f"{args.out}/data")
+                .groupBy("sink_id")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
         sec = time.time() - t0
         print(json.dumps({
             "cmd": "stream",
@@ -307,7 +312,19 @@ def main(argv: list[str] | None = None) -> int:
         exact_dupes = dup_groups.agg(
             F.coalesce(F.sum(F.col("n_copies") - 1), F.lit(0)).alias("removable")
         ).collect()[0]["removable"]
-        near_pairs = minhash_lsh_candidates(docs).count()
+        # cluster-level near-dup accounting: collapse the LSH candidate
+        # pairs into connected components — k near-dups in one cluster
+        # are k-1 removals, not k(k-1)/2 pairs (raw pair counts
+        # overstate quadratically on dense dup groups; r3 VERDICT
+        # What's-missing #3)
+        from hetman_spark.functions.dedup import dedup_clusters
+
+        cand = minhash_lsh_candidates(docs)
+        near_pairs = cand.count()
+        cstats = dedup_clusters(cand).agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.coalesce(F.sum("n_removable"), F.lit(0)).alias("removable"),
+        ).collect()[0]
         # near-identical by order-sensitive rolling fingerprint (token
         # sequence equal, not just token set)
         from hetman_spark.functions.dedup import simhash_md5
@@ -331,6 +348,8 @@ def main(argv: list[str] | None = None) -> int:
             "exact_dup_removable": exact_dupes,
             "simhash_dup_removable": simhash_dupes,
             "minhash_candidate_pairs": near_pairs,
+            "neardup_clusters": cstats["n_clusters"],
+            "neardup_cluster_removable": cstats["removable"],
             "sec": round(time.time() - t0, 2),
         }))
         return 0

@@ -326,6 +326,113 @@ def simhash_near_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """(node, component) for every node that appears in `pairs`;
+    component = the MINIMUM node id reachable in the undirected pair
+    graph — the transitive-clustering step every production dedup runs
+    after LSH (collapse candidate pairs into groups, keep one doc per
+    group).  No reference analog (the reference ships logs, not
+    corpora); this is the Gopher/CCNet-style pipeline stage the LLM
+    brief calls for.
+
+    Algorithm: min-label propagation PLUS pointer jumping, all as
+    keyed DataFrame self-joins (never a cross product):
+
+      1. propagate: label'(v) = min(label(v), min_{u~v} label(u))
+         — one equi-join of the symmetric edge list with the label
+         table, one partial-aggregated groupBy(v).
+      2. pointer jump: label''(v) = label'(label'(v)) — one
+         equi-join of the label table with itself (path halving).
+
+    Propagation alone needs O(diameter) rounds (a 1M-doc near-dup
+    chain = 1M rounds); the pointer-jumping step halves label-chain
+    depth every round, so convergence is O(log n) rounds — at 100 TB
+    that is ~30 shuffles of (id, label) pairs, never of text.
+
+    Per-round driver work is one fingerprint aggregate: labels only
+    ever DECREASE, so sum(label) is monotone and the fixpoint is
+    'sum unchanged' — no expensive old-vs-new anti-join.  Each round
+    localCheckpoints the label table: iterative self-joins otherwise
+    double the lineage/plan depth per round, and round 12 would
+    re-plan an exponentially deep tree.
+
+    Deterministic on any cluster size/partitioning (min is
+    commutative); raises if max_iters rounds don't converge (2^25
+    chain depth) rather than returning a half-merged clustering.
+    """
+    a, b = F.col(src).alias("v"), F.col(dst).alias("u")
+    # checkpoint the edge list: it joins into EVERY round, and without
+    # materialization each round would re-execute the upstream pair
+    # derivation (the whole LSH banding) from scratch
+    edges = (
+        pairs.select(a, b).union(pairs.select(b.alias("v"), a.alias("u")))
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select("v").distinct().select("v", F.col("v").alias("label"))
+    ).localCheckpoint(eager=True)
+
+    def fp(lbl: DataFrame):
+        # cast BEFORE the sum: BIGINT ids summed over millions of rows
+        # overflow int64 under ANSI mode (which throws, not wraps)
+        return lbl.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+
+    fingerprint = fp(labels)
+
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("v", "u").withColumnRenamed("label", "lu"), "u")
+            .groupBy("v")
+            .agg(F.min("lu").alias("m"))
+        )
+        prop = (
+            labels.join(nbr_min, "v", "left")
+            .select("v", F.least("label", F.coalesce("m", "label")).alias("label"))
+        )
+        # label(v) is itself a node id, so it has a row in prop: jump
+        jumped = (
+            prop.alias("l1")
+            .join(
+                prop.select(F.col("v").alias("label"), F.col("label").alias("label2")).alias("l2"),
+                "label",
+            )
+            .select(F.col("v"), F.col("label2").alias("label"))
+        )
+        labels = jumped.localCheckpoint(eager=True)
+        new_fp = fp(labels)
+        if new_fp == fingerprint:
+            return labels.select("v", F.col("label").alias("component"))
+        fingerprint = new_fp
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds "
+        "(pathological chain > 2^25 deep?)"
+    )
+
+
+def dedup_clusters(
+    pairs: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """Cluster-level view of the candidate-pair graph: one row per
+    connected component with keeper_id = min member (the doc a dedup
+    pass keeps), sorted member list, and n_removable = n_members - 1
+    (what `analyze` reports instead of raw pair counts — k near-dup
+    docs in one cluster are k-1 removals, not k(k-1)/2 'pairs')."""
+    cc = connected_components(pairs, src, dst)
+    return (
+        cc.groupBy(F.col("component").alias("cluster_id"))
+        .agg(
+            F.min("v").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_members"),
+            F.sort_array(F.collect_list("v")).alias("member_ids"),
+            (F.count(F.lit(1)) - 1).alias("n_removable"),
+        )
+    )
+
+
 def embedding_neardup_candidates(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -30,6 +30,29 @@ from pyspark.sql import functions as F
 from hetman_spark.operators.modify import merge_tags
 
 
+def validate_predicate_cols(sinks, predicate_cols: list[str]) -> None:
+    """Config validation: a sink whose predicate_col is not one of the
+    columns offered to the router would silently match NOTHING (its
+    predicate compiles to lit(False)) — zero rows routed, no error.
+    Raise at build time instead: a typo'd routing predicate is a config
+    error, not an empty sink.  `sinks` is any iterable of objects/dicts
+    with predicate_col; "*" always matches and is exempt."""
+    offered = set(predicate_cols)
+    bad = sorted(
+        {
+            c
+            for s in sinks
+            for c in [s["predicate_col"] if isinstance(s, dict) else s.predicate_col]
+            if c != "*" and c not in offered
+        }
+    )
+    if bad:
+        raise ValueError(
+            f"sink predicate_col(s) {bad} not in the columns offered to the "
+            f"router {sorted(offered)}: these sinks would receive zero rows"
+        )
+
+
 def _match_cond(df_cols: list[str]):
     """Build the routing predicate: routes.predicate_col names a column
     of the enriched frame whose value must equal predicate_val; "*"
@@ -53,6 +76,11 @@ def route_explode(df: DataFrame, routes: DataFrame, predicate_cols: list[str]) -
     executes it as BroadcastNestedLoopJoin, which at 3-5 sink rows is
     k flag evaluations per record — the same work as hetman's k
     channel sends.
+
+    Unlike the static router, a routes ROW naming a column outside
+    predicate_cols cannot be validated here without collecting the
+    routes frame — callers holding the SinkConfig objects should run
+    validate_predicate_cols first (run_pipeline's static path does).
     """
     cond = _match_cond(predicate_cols)(df, routes)
     return df.join(F.broadcast(routes), on=cond, how="inner")
@@ -71,14 +99,13 @@ def route_explode_static(df: DataFrame, sinks, predicate_cols: list[str]) -> Dat
     efficiency 2->8 cores vs ~0.85 for the rest of the plan
     (allocation-heavy interpreted path).  `sinks` is the SinkConfig
     sequence (the same objects routes_df serializes)."""
+    validate_predicate_cols(sinks, predicate_cols)
 
     def entry(s):
         if s.predicate_col == "*" or s.predicate_val == "*":
             cond = F.lit(True)
-        elif s.predicate_col in predicate_cols:
-            cond = F.col(s.predicate_col).cast("string") == F.lit(s.predicate_val)
         else:
-            cond = F.lit(False)
+            cond = F.col(s.predicate_col).cast("string") == F.lit(s.predicate_val)
         if s.add_tags:
             # insertion order, matching routes_df's map literal exactly
             tags = F.create_map(
@@ -106,15 +133,14 @@ def route_explode_static(df: DataFrame, sinks, predicate_cols: list[str]) -> Dat
 def route_per_sink(df: DataFrame, routes_rows: list[dict], predicate_cols: list[str]) -> dict[str, DataFrame]:
     """k filtered views (cache df first!) — the literal analog of the
     reference's per-forwarder fan-out."""
+    validate_predicate_cols(routes_rows, predicate_cols)
     out: dict[str, DataFrame] = {}
     for r in routes_rows:
         c, v = r["predicate_col"], r["predicate_val"]
         if c == "*" or v == "*":
             flt = F.lit(True)
-        elif c in predicate_cols:
-            flt = F.col(c).cast("string") == F.lit(v)
         else:
-            flt = F.lit(False)
+            flt = F.col(c).cast("string") == F.lit(v)
         out[r["sink_id"]] = df.filter(flt)
     return out
 

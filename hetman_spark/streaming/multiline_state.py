@@ -45,9 +45,10 @@ STATE_SCHEMA = StructType(
 )
 
 
-def make_stitcher(pattern: str, timeout_ms: int = 60_000):
+def make_stitcher(pattern: str, timeout_ms: int | None = 60_000):
     """Returns the applyInPandasWithState function for a given
-    continuation pattern (e.g. r"^\\s")."""
+    continuation pattern (e.g. r"^\\s").  timeout_ms=None disables the
+    stale-anchor timeout (see stitch_multiline_stream)."""
     rx = re.compile(pattern)
 
     def stitch(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
@@ -82,24 +83,39 @@ def make_stitcher(pattern: str, timeout_ms: int = 60_000):
 
         if pending is not None:
             state.update(pending)
-            state.setTimeoutDuration(timeout_ms)
+            if timeout_ms is not None:
+                state.setTimeoutDuration(timeout_ms)
         if out_rows:
             yield pd.DataFrame(out_rows, columns=["file_id", "line_no", "line"])
 
     return stitch
 
 
-def stitch_multiline_stream(lines: DataFrame, pattern: str, timeout_ms: int = 60_000) -> DataFrame:
+def stitch_multiline_stream(
+    lines: DataFrame, pattern: str, timeout_ms: int | None = 60_000
+) -> DataFrame:
     """Streaming lines (file_id, line_no, line) -> stitched records.
 
     Usage:
         out = stitch_multiline_stream(readStream_lines, r"^\\s")
         out.writeStream.outputMode("append")...
-    """
+
+    timeout_ms=None disables the stale-anchor timeout entirely
+    (GroupStateTimeout.NoTimeout): required for bounded availableNow
+    DRAINS that must terminate on their own — with a processing-time
+    timeout registered, Spark keeps the drained query alive running
+    micro-batches until every pending timeout has fired (measured:
+    a 1 s timeout held a fully-drained query active 60+ s).  The
+    continuous `--follow` mode keeps the default timeout: there the
+    periodic flush of a stale anchor is the point."""
     return lines.groupBy("file_id").applyInPandasWithState(
         make_stitcher(pattern, timeout_ms),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if timeout_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )

@@ -24,6 +24,11 @@ def test_analyze_cli_on_documents():
     assert "en" in report["lang_guess_counts"]
     assert report["exact_dup_removable"] >= 0
     assert report["minhash_candidate_pairs"] >= 0
+    # cluster-level accounting: clusters <= pairs, and a cluster of k
+    # members removes k-1 docs, so removable <= pairs and removable
+    # covers at least the exact dups that banded together
+    assert report["neardup_clusters"] >= 0
+    assert 0 <= report["neardup_cluster_removable"] <= report["minhash_candidate_pairs"]
 
 
 def test_read_webtext_parquet_fallback(spark, tmp_path):

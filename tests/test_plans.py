@@ -114,3 +114,39 @@ def test_entry_band_pairs_match_library_shape(spark, sf_dir):
     # signatures collide in every band)
     missing = dup_pairs.join(entry, ["id_a", "id_b"], "left_anti").count()
     assert missing == 0
+
+
+def test_connected_components_rounds_are_keyed_joins(spark):
+    """One clustering round (propagate + jump) must plan as keyed
+    equi-joins over (id, label) pairs — the O(log n)-rounds shape that
+    survives 100 TB; a nested-loop anywhere would be quadratic."""
+    from hetman_spark.functions.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    # capture a round's plan by replaying its building blocks
+    edges = pairs.selectExpr("id_a AS v", "id_b AS u").union(
+        pairs.selectExpr("id_b AS v", "id_a AS u")
+    )
+    labels = edges.select("v").distinct().selectExpr("v", "v AS label")
+    nbr = (
+        edges.join(
+            labels.withColumnRenamed("v", "u").withColumnRenamed("label", "lu"), "u"
+        )
+        .groupBy("v")
+        .agg(F.min("lu").alias("m"))
+    )
+    prop = labels.join(nbr, "v", "left").select(
+        "v", F.least("label", F.coalesce("m", "label")).alias("label")
+    )
+    jumped = prop.alias("l1").join(
+        prop.selectExpr("v AS label", "label AS label2").alias("l2"), "label"
+    )
+    for df in (nbr, prop, jumped):
+        plan = _physical_plan(df)
+        for shape in FORBIDDEN:
+            assert shape not in plan
+    # and the full operator agrees with the by-hand expectation
+    out = {r["v"]: r["component"] for r in connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}

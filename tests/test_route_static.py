@@ -40,3 +40,29 @@ def test_static_router_no_bnlj(spark):
         out._jdf.queryExecution(), "formatted"
     )
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_router_rejects_unknown_predicate_col(spark):
+    """A sink whose predicate_col is not offered to the router must be
+    a build-time config error, not a silent zero-row sink (r3 VERDICT
+    What's-wrong #4)."""
+    import pytest
+
+    from hetman_spark.config import SinkConfig
+    from hetman_spark.operators.route import route_per_sink, validate_predicate_cols
+
+    bad = DEFAULT_SINKS + (
+        SinkConfig(url="s3://x", predicate_col="regoin", predicate_val="emea"),
+    )
+    df = spark.range(1).selectExpr("'en' AS lang", "'2xx' AS status_class",
+                                   "'emea' AS region")
+    with pytest.raises(ValueError, match="regoin"):
+        route_explode_static(df, bad, ["lang", "status_class", "region"])
+    with pytest.raises(ValueError, match="regoin"):
+        route_per_sink(
+            df,
+            [{"sink_id": "x", "predicate_col": "regoin", "predicate_val": "emea"}],
+            ["lang", "status_class", "region"],
+        )
+    # the valid set still passes validation untouched
+    validate_predicate_cols(DEFAULT_SINKS, ["lang", "status_class", "region"])
