@@ -1480,6 +1480,84 @@ SELECT query_id, neighbor_id, dot_q, rank FROM (
 
 
 # ---------------------------------------------------------------------------
+# k-means IVF centroid training, integer-exact: Lloyd's with fixed
+# iterations/init/tiebreaks over quantized vectors — a fully-oracled
+# ITERATIVE algorithm (the class usually stuck with rows-only checks).
+# The DuckDB twin unrolls the iterations as CTEs.
+# ---------------------------------------------------------------------------
+
+_KM_K, _KM_ITERS, _KM_DIM = 8, 3, 64
+
+
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster stats of integer-exact k-means over the embeddings
+    table (similarity.kmeans_quantized: deterministic init = k lowest
+    vec_ids, argmin ties to lowest centroid index, floor(sum/count)
+    centroid updates — identical trajectories on any engine/cluster)."""
+    from hetman_spark.functions.similarity import kmeans_quantized
+
+    e = _t(spark, sf_dir, "embeddings")
+    a = kmeans_quantized(e, k=_KM_K, iters=_KM_ITERS, dim=_KM_DIM)
+    return a.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("dist_q").alias("inertia_q"),
+    )
+
+
+def _sql_kmeans(k: int, iters: int, dim: int) -> str:
+    """DuckDB twin of kmeans_quantized with the iterations UNROLLED as
+    CTEs: c0 = init centroids, then per round i an assignment CTE a{i}
+    (argmin over a cross join with the k-row centroid table, ties by
+    centroid index) and an update CTE c{i+1} (floor-mean per dim; empty
+    clusters keep the old centroid via LEFT JOIN + COALESCE)."""
+    dist = (
+        f"CAST(list_sum(list_transform(range(1, {dim} + 1), "
+        f"j -> (q.qv[j] - c.cent[j]) * (q.qv[j] - c.cent[j]))) AS BIGINT)"
+    )
+    parts = [
+        f"q AS (SELECT vec_id, {_sql_quantized('embedding')} AS qv FROM embeddings)",
+        f"""c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS ci, qv AS cent
+  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT {k}))""",
+    ]
+    for i in range(iters):
+        parts.append(f"""a{i} AS (
+  SELECT vec_id, qv, ci, d FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, ci) AS rn
+    FROM (SELECT q.vec_id, q.qv, c.ci, {dist} AS d FROM q CROSS JOIN c{i} c))
+  WHERE rn = 1)""")
+        parts.append(f"""s{i} AS (
+  SELECT ci, t.j AS dimx, sum(qv[t.j + 1]) AS s, count(*) AS n
+  FROM a{i} CROSS JOIN (SELECT CAST(unnest(range({dim})) AS BIGINT) AS j) t
+  GROUP BY ci, t.j)""")
+        parts.append(f"""c{i + 1} AS (
+  SELECT c.ci,
+         list(COALESCE(CAST(floor(CAST(s.s AS DOUBLE) / s.n) AS BIGINT),
+                       c.cent[t.j + 1]) ORDER BY t.j) AS cent
+  FROM c{i} c
+  CROSS JOIN (SELECT CAST(unnest(range({dim})) AS BIGINT) AS j) t
+  LEFT JOIN s{i} s ON s.ci = c.ci AND s.dimx = t.j
+  GROUP BY c.ci)""")
+    # final assignment against the last centroids, aggregated
+    parts.append(f"""fin AS (
+  SELECT vec_id, ci, d FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, ci) AS rn
+    FROM (SELECT q.vec_id, c.ci, {dist} AS d FROM q CROSS JOIN c{iters} c))
+  WHERE rn = 1)""")
+    return (
+        "WITH " + ",\n".join(parts) + """
+SELECT CAST(ci AS BIGINT) AS cluster_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(d) AS BIGINT) AS inertia_q
+FROM fin GROUP BY ci
+"""
+    )
+
+
+SQL_KMEANS_CLUSTERS = _sql_kmeans(_KM_K, _KM_ITERS, _KM_DIM)
+
+
+# ---------------------------------------------------------------------------
 # Multimodal feature extraction — the stub decoders are deterministic
 # integer arithmetic over md5-derived payload bytes, so DuckDB can
 # recompute width/height/channels from the SAME parquet bytes: the
@@ -1541,6 +1619,54 @@ FROM h
 _WEBTEXT_ORACLE_PATH = "/tmp/hetman_spark_oracle_webtext_v1_20000"
 
 
+def _ensure_webtext_fixture(spark: SparkSession) -> str:
+    """Materialize the deterministic 20k-row webtext table once (reuse
+    keyed on a post-commit marker — see q_webtext_route_counts) and
+    return its path."""
+    import os as _os
+
+    from hetman_spark.sources.webtext import write_webtext
+
+    marker = f"{_WEBTEXT_ORACLE_PATH}/_SUCCESS"
+    if not _os.path.exists(marker):
+        write_webtext(spark, _WEBTEXT_ORACLE_PATH, 20_000, n_splits=8)
+        with open(marker, "w"):
+            pass
+    return _WEBTEXT_ORACLE_PATH
+
+
+def q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host corpus shape over the webtext fixture — the CCNet-style
+    per-domain aggregation a crawl pipeline runs before host-level
+    filtering (robots blocklists, per-domain caps): pages, distinct
+    path sections, distinct langs per host.  One partial-aggregated
+    shuffle of (host, section, lang) triples; url parsing is a regexp
+    in codegen."""
+    df = spark.read.parquet(_ensure_webtext_fixture(spark))
+    host = F.regexp_extract(F.col("url"), r"^https://([^/]+)/", 1)
+    section = F.regexp_extract(F.col("url"), r"^https://[^/]+/([^/]+)/", 1)
+    return (
+        df.select(host.alias("host"), section.alias("section"), "lang")
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.countDistinct("section").alias("n_sections"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
+
+
+def _sql_host_stats() -> str:
+    return f"""
+SELECT regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+       CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(count(DISTINCT regexp_extract(url, '^https://[^/]+/([^/]+)/', 1)) AS BIGINT) AS n_sections,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+FROM read_parquet('{_WEBTEXT_ORACLE_PATH}/*/*.parquet')
+GROUP BY host
+"""
+
+
 def q_webtext_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The actual webtext pipeline (generate -> parse -> enrich ->
     route) on a fixed deterministic 20k-row table, returning per-sink
@@ -1555,11 +1681,8 @@ def q_webtext_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     reused — the recorded per-query timing then measures the pipeline,
     not the fixture generator (~3.7s of the r2 bench number was
     regeneration)."""
-    import os as _os
-
     from hetman_spark.plans.pipeline import build_parsed, build_routed, tags_disjoint
     from hetman_spark.sources.lookup import DEFAULT_SINKS, lang_lookup, routes_df
-    from hetman_spark.sources.webtext import write_webtext
 
     # reuse is keyed on a success marker written only AFTER the
     # generator job returns — a write killed mid-job leaves partition
@@ -1567,12 +1690,7 @@ def q_webtext_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the canonical 20k-row fixture (r3 ADVICE; globbing for *.parquet
     # accepted partials).  The marker is ours, not Spark's: dynamic
     # partitionOverwriteMode suppresses the engine _SUCCESS file.
-    marker = f"{_WEBTEXT_ORACLE_PATH}/_SUCCESS"
-    if not _os.path.exists(marker):
-        write_webtext(spark, _WEBTEXT_ORACLE_PATH, 20_000, n_splits=8)
-        with open(marker, "w"):
-            pass
-    df = spark.read.parquet(_WEBTEXT_ORACLE_PATH)
+    df = spark.read.parquet(_ensure_webtext_fixture(spark))
     flow = build_routed(
         build_parsed(df).drop("html").join(F.broadcast(lang_lookup(spark)), "lang", "left"),
         routes_df(spark),
@@ -1650,9 +1768,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_stats": q_repetition_stats,
     "stratified_sample": q_stratified_sample,
     "webtext_route_counts": q_webtext_route_counts,
+    "host_stats": q_host_stats,
     "embedding_lsh_candidates": q_embedding_lsh_candidates,
     "ivf_topk": q_ivf_topk,
     "ivf_topk_multiprobe": q_ivf_topk_multiprobe,
+    "kmeans_clusters": q_kmeans_clusters,
     "multimodal_features": q_multimodal_features,
 }
 
@@ -1691,8 +1811,10 @@ ORACLES: dict[str, str] = {
     "repetition_stats": SQL_REPETITION,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "webtext_route_counts": _sql_webtext_route_counts(),
+    "host_stats": _sql_host_stats(),
     "embedding_lsh_candidates": SQL_EMBEDDING_LSH,
     "ivf_topk": SQL_IVF_TOPK,
     "ivf_topk_multiprobe": SQL_IVF_TOPK_MULTIPROBE,
+    "kmeans_clusters": SQL_KMEANS_CLUSTERS,
     "multimodal_features": SQL_MULTIMODAL,
 }

@@ -382,6 +382,91 @@ def ivf_topk_multiprobe(
     )
 
 
+def kmeans_quantized(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """Lloyd's k-means over QUANTIZED vectors with integer-exact
+    arithmetic end-to-end — the IVF-centroid trainer (replace the
+    hyperplane cells of ivf_topk_quantized with learned centroids) and
+    a fully-oracled iterative algorithm: fixed iteration count,
+    deterministic init (the k lowest vec_ids), argmin ties broken by
+    centroid index, centroid update floor(sum/count) — every number is
+    a BIGINT (or an exactly-representable double inside floor), so
+    Spark and DuckDB converge to IDENTICAL centroids and assignments.
+
+    Returns (vec_id, cluster_id, dist_q): final assignment + squared
+    quantized L2 distance.
+
+    Scale shape (the standard production k-means decomposition):
+    - assignment pass: k distance expressions over packed from_json
+      centroid constants — NO join, NO shuffle, pure map-side;
+    - update pass: posexplode to (cluster, dim) and ONE
+      partial-aggregated shuffle of k*dim groups;
+    - centroids live driver-side (k*dim ints — small by definition;
+      the thing you broadcast, never shuffle);
+    - the input projection is localCheckpointed once: every iteration
+      re-reads materialized (vec_id, qv) rows, not the upstream plan.
+    Empty clusters keep their previous centroid (deterministic on both
+    engines)."""
+    import json as _json
+
+    q = corpus.select(
+        F.col(id_col).alias("vec_id"), quantize_vec(F.col(vec_col)).alias("qv")
+    ).localCheckpoint(eager=True)
+    if dim is None:
+        dim = q.select(F.size("qv")).first()[0]
+    cents = [list(r["qv"]) for r in q.orderBy("vec_id").limit(k).collect()]
+
+    def best_of(cents: list[list[int]]) -> Column:
+        def dist(c: list[int]) -> Column:
+            packed = F.from_json(F.lit(_json.dumps(c)), "array<bigint>")
+            return F.aggregate(
+                F.zip_with(F.col("qv"), packed, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+
+        # array_min over struct(d, c) = lexicographic min: smallest
+        # distance, ties to the lowest centroid index
+        return F.array_min(
+            F.array(
+                *[
+                    F.struct(dist(c).alias("d"), F.lit(ci).cast("long").alias("c"))
+                    for ci, c in enumerate(cents)
+                ]
+            )
+        )
+
+    for _ in range(iters):
+        assigned = q.select("qv", best_of(cents).alias("b"))
+        sums = (
+            assigned.select(
+                F.col("b.c").alias("c"), F.posexplode("qv").alias("dim", "val")
+            )
+            .groupBy("c", "dim")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+        ).collect()  # k*dim rows — aggregate-level, never per-vector
+        by_c: dict[int, dict[int, int]] = {}
+        for r in sums:
+            # python // floors (negative-safe), matching floor(s/n)
+            by_c.setdefault(r["c"], {})[r["dim"]] = r["s"] // r["n"]
+        cents = [
+            [by_c[ci][d] for d in range(dim)] if ci in by_c else cents[ci]
+            for ci in range(len(cents))
+        ]
+
+    return q.select("vec_id", best_of(cents).alias("b")).select(
+        "vec_id",
+        F.col("b.c").alias("cluster_id"),
+        F.col("b.d").alias("dist_q"),
+    )
+
+
 def cosine_topk_pandas(
     corpus: DataFrame,
     query_vec: list[float],

@@ -308,3 +308,45 @@ def test_dedup_clusters_keeper_and_removables(spark):
     assert rows[5]["member_ids"] == [5, 7, 9] and rows[5]["n_removable"] == 2
     assert rows[20]["member_ids"] == [20, 21] and rows[20]["n_removable"] == 1
     assert rows[40]["n_members"] == 3 and rows[40]["keeper_id"] == 40
+
+
+def test_kmeans_quantized_separates_and_partition_invariant(spark):
+    """Integer-exact Lloyd's: two well-separated blobs land in two
+    clusters, and the full (id, cluster, dist) assignment is identical
+    under a different partitioning (deterministic init/ties/updates)."""
+    from hetman_spark.functions.similarity import kmeans_quantized
+
+    rows = [(i, [1.0 + 0.001 * i, 1.0, 1.0, 1.0]) for i in range(10)]
+    rows += [(i, [-1.0 - 0.001 * i, -1.0, -1.0, -1.0]) for i in range(10, 20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = sorted(
+        (r["vec_id"], r["cluster_id"], r["dist_q"])
+        for r in kmeans_quantized(df, k=2, iters=3, dim=4).collect()
+    )
+    by_id = dict((v, c) for v, c, _ in out)
+    assert len({by_id[i] for i in range(10)}) == 1
+    assert len({by_id[i] for i in range(10, 20)}) == 1
+    assert by_id[0] != by_id[10]
+    out2 = sorted(
+        (r["vec_id"], r["cluster_id"], r["dist_q"])
+        for r in kmeans_quantized(df.repartition(7), k=2, iters=3, dim=4).collect()
+    )
+    assert out == out2
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    """With k larger than the number of distinct points, the surplus
+    centroids keep their previous position instead of crashing or
+    drifting nondeterministically."""
+    from hetman_spark.functions.similarity import kmeans_quantized
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [5.0, 5.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = kmeans_quantized(df, k=3, iters=2, dim=2).collect()
+    assert len(out) == 3
+    # point 1 ties between centroid0 (same position) and itself as
+    # centroid1 -> lowest index wins deterministically
+    by_id = {r["vec_id"]: r["cluster_id"] for r in out}
+    assert by_id[0] == 0 and by_id[1] == 0 and by_id[2] == 2
