@@ -359,7 +359,10 @@ def connected_components(
     'sum unchanged' — no expensive old-vs-new anti-join.  Each round
     localCheckpoints the label table: iterative self-joins otherwise
     double the lineage/plan depth per round, and round 12 would
-    re-plan an exponentially deep tree.
+    re-plan an exponentially deep tree.  (localCheckpoint trades
+    executor-loss tolerance for speed; a long job on a preemptible
+    cluster should set a checkpoint dir and swap in reliable
+    .checkpoint() — one line, same plan shape.)
 
     Deterministic on any cluster size/partitioning (min is
     commutative); raises if max_iters rounds don't converge (2^25

@@ -188,3 +188,39 @@ def windowed_counts_stream(
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("window_start"), "lang", "n")
     )
+
+
+def dedup_stream(
+    lines: DataFrame,
+    key_cols: list[str] | None = None,
+    ts_col: str = "warc_ts",
+    watermark: str = "2 hours",
+    exact_within_watermark: bool = True,
+) -> DataFrame:
+    """Streaming exact-dedup: drop content-duplicate records as they
+    arrive — the continuous twin of functions/dedup.py:exact_dedup
+    (which groups a static corpus).  The LLM-pipeline use: a crawler
+    feed where re-fetches and mirror pages must not reach the corpus
+    twice.
+
+    key_cols defaults to a content hash of `text` (md5 — matching
+    exact_dedup's grouping key) so byte-identical pages dedup even
+    when their urls differ.
+
+    State-boundedness at scale: dropDuplicatesWithinWatermark keeps a
+    key's state only until the watermark passes it — a duplicate
+    arriving later than `watermark` after the original is NOT caught,
+    which is the honest trade every streaming dedup makes (unbounded
+    dropDuplicates state would OOM a perpetual tailer; set
+    exact_within_watermark=False to get it for bounded drains).  The
+    batch exact_dedup remains the exhaustive ground truth for
+    compaction passes.
+    """
+    hashed = lines.withColumn("_content_hash", F.md5(F.col("text").cast("binary")))
+    keys = key_cols or ["_content_hash"]
+    wm = hashed.withWatermark(ts_col, watermark)
+    if exact_within_watermark:
+        out = wm.dropDuplicatesWithinWatermark(keys)
+    else:
+        out = wm.dropDuplicates(keys)
+    return out.drop("_content_hash") if key_cols is None else out

@@ -150,3 +150,25 @@ def test_connected_components_rounds_are_keyed_joins(spark):
     # and the full operator agrees with the by-hand expectation
     out = {r["v"]: r["component"] for r in connected_components(pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_kmeans_assignment_is_map_side(spark):
+    """The k-means assignment pass must be join-free (centroids are
+    packed constants, not a joined table) — the property that keeps
+    the per-iteration cost one scan + one k*dim-group aggregate."""
+    from hetman_spark.functions.similarity import kmeans_quantized
+
+    rows = [(i, [float(i % 5), float(i % 3)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans_quantized(df, k=2, iters=1, dim=2)
+    plan = _physical_plan(out)
+    assert "Join" not in plan
+
+
+def test_queries_and_oracles_registries_agree():
+    """Every queries() entry must have an oracle (the driver records a
+    weaker rows-only check otherwise — this repo's bar is 100% fully
+    oracled), and no orphan oracles."""
+    from hetman_spark.entry_queries import ORACLES, QUERIES
+
+    assert set(QUERIES) == set(ORACLES)

@@ -161,3 +161,38 @@ def test_backpressure_max_files_per_trigger(spark, tmp_path):
     assert len(epochs) == 3  # one micro-batch per file
     data = spark.read.parquet(os.path.join(out, "data"))
     assert data.filter(F.col("sink_id") == "ef72bbb8150adc6cdce19e595f8e64e0").count() == 150
+
+
+def test_dedup_stream_drops_exact_dups_across_epochs(spark, tmp_path):
+    """Streaming exact-dedup twin: byte-identical texts arriving in
+    LATER micro-batches (within the watermark) are dropped by carried
+    state, not just within one batch."""
+    import datetime as dt
+
+    from hetman_spark.streaming.stream import dedup_stream
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = "url string, warc_ts timestamp, text string"
+    f1 = [("u1", base, "alpha"), ("u2", base, "beta"), ("u3", base, "alpha")]
+    f2 = [("u4", base + dt.timedelta(minutes=5), "alpha"),
+          ("u5", base + dt.timedelta(minutes=5), "gamma")]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(f1, schema).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(f2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    lines = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        dedup_stream(lines, watermark="1 hour")
+        .writeStream.format("memory").queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT text, count(*) AS n FROM dedup_out GROUP BY text"
+    ).collect()
+    assert {r["text"] for r in rows} == {"alpha", "beta", "gamma"}
+    assert all(r["n"] == 1 for r in rows)
