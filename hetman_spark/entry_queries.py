@@ -884,6 +884,97 @@ FROM reach GROUP BY v
 
 
 # ---------------------------------------------------------------------------
+# Incremental dedup: new docs vs the EXISTING corpus — the batch-append
+# shape every continuously-ingesting pipeline runs (drop an incoming
+# doc if its content hash already exists; also dedup within the batch).
+# ---------------------------------------------------------------------------
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivors of an incoming batch (doc_id >= 250) deduped against
+    the existing corpus (doc_id < 250) AND within itself (keeper = min
+    doc_id per hash).  Scale shape: only (hash, id) pairs move — a
+    left_anti hash-join against the existing hash set plus one groupBy;
+    the text column never shuffles.  At 100 TB the existing-hash side
+    is a bucketed table (or a bloom-filter pre-pass feeding the same
+    anti-join); the plan shape here is already that partitioned
+    anti-join."""
+    d = _t(spark, sf_dir, "documents")
+    hashed = d.select("doc_id", F.md5(F.col("text")).alias("text_hash"))
+    existing = hashed.where(F.col("doc_id") < 250).select("text_hash")
+    incoming = hashed.where(F.col("doc_id") >= 250)
+    fresh = incoming.join(existing, "text_hash", "left_anti")
+    return fresh.groupBy("text_hash").agg(
+        F.min("doc_id").alias("keeper_id"),
+        F.count(F.lit(1)).alias("n_in_batch"),
+    )
+
+
+SQL_INCREMENTAL_DEDUP = """
+WITH hashed AS (
+  SELECT doc_id, md5(text) AS text_hash FROM documents
+), incoming AS (
+  SELECT * FROM hashed WHERE doc_id >= 250
+), fresh AS (
+  SELECT i.* FROM incoming i
+  WHERE NOT EXISTS (SELECT 1 FROM hashed e
+                    WHERE e.doc_id < 250 AND e.text_hash = i.text_hash)
+)
+SELECT text_hash, min(doc_id) AS keeper_id, count(*) AS n_in_batch
+FROM fresh GROUP BY text_hash
+"""
+
+
+# ---------------------------------------------------------------------------
+# Corpus length quantiles: exact discrete percentiles per lang — the
+# doc-length distribution table a filtering pass is tuned against.
+# Interpolating percentile functions differ between engines; the
+# discrete "value at position ceil(q*n)" construction is identical
+# everywhere (window row_number + conditional aggregate).
+# ---------------------------------------------------------------------------
+
+
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    ranked = d.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+    )
+
+    def q_at(q: float):
+        pos = F.ceil(F.lit(q) * F.col("n")).cast("long")
+        return F.max(F.when(F.col("rn") == pos, F.col("n_chars")))
+
+    return ranked.groupBy("lang").agg(
+        F.max("n").alias("n_docs"),
+        q_at(0.5).alias("p50_chars"),
+        q_at(0.9).alias("p90_chars"),
+        q_at(0.99).alias("p99_chars"),
+    )
+
+
+SQL_LENGTH_QUANTILES = """
+WITH ranked AS (
+  SELECT lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT lang,
+       CAST(max(n) AS BIGINT) AS n_docs,
+       max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN n_chars END) AS p50_chars,
+       max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN n_chars END) AS p90_chars,
+       max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN n_chars END) AS p99_chars
+FROM ranked GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # Sessionization: gap-based per-user sessions over the event stream —
 # the time-keyed twin of the multiline stitch (same cumsum shape).
 # ---------------------------------------------------------------------------
@@ -1371,6 +1462,73 @@ WHERE a.id < b.id
 """
 
 
+def q_embedding_neardup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VERIFY stage after hyperplane LSH (the embedding analog of
+    ngram_jaccard_pairs after minhash banding): for each candidate pair
+    join the quantized vectors back and emit the exact integer dot
+    product plus both squared norms — everything a threshold pass
+    needs to compute cosine >= t as the integer inequality
+    dot^2 * 2^2k >= t^2 * n2a * n2b without ever leaving BIGINT.
+    Scale shape: candidate-only joins (the pair list is tiny relative
+    to the corpus), vectors shuffle only for paired ids."""
+    from hetman_spark.functions.similarity import (
+        hyperplane_code_int,
+        int_dot_sim,
+        quantize_vec,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    dim = e.select(F.size("embedding")).first()[0]
+    qv = e.select(
+        F.col("vec_id").alias("id"),
+        quantize_vec(F.col("embedding")).alias("vq"),
+        hyperplane_code_int(F.col("embedding"), planes=12, dim=dim).alias("bucket"),
+    )
+    a, b = qv.alias("l"), qv.alias("r")
+    pairs = (
+        a.join(b, "bucket")
+        .where(F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.vq").alias("vq_a"),
+            F.col("r.vq").alias("vq_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    norm2 = lambda c: F.aggregate(  # noqa: E731
+        c, F.lit(0).cast("long"), lambda acc, x: acc + x * x
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        int_dot_sim(F.col("vq_a"), F.col("vq_b")).alias("dot_q"),
+        norm2(F.col("vq_a")).alias("norm2_a"),
+        norm2(F.col("vq_b")).alias("norm2_b"),
+    )
+
+
+SQL_EMBEDDING_VERIFIED = f"""
+WITH qe AS (
+  SELECT vec_id, {_sql_quantized("embedding")} AS vq FROM embeddings
+), bucketed AS (
+  SELECT vec_id AS id, vq, {_sql_cell(12)} AS bucket FROM qe
+), pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket
+  WHERE a.id < b.id
+)
+SELECT p.id_a, p.id_b,
+       CAST(list_sum(list_transform(range(1, len(x.vq) + 1),
+                     j -> x.vq[j] * y.vq[j])) AS BIGINT) AS dot_q,
+       CAST(list_sum(list_transform(x.vq, v -> v * v)) AS BIGINT) AS norm2_a,
+       CAST(list_sum(list_transform(y.vq, v -> v * v)) AS BIGINT) AS norm2_b
+FROM pairs p
+JOIN qe x ON x.vec_id = p.id_a
+JOIN qe y ON y.vec_id = p.id_b
+"""
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF probe, integer-exact: cells + quantized-dot ranking (see
     similarity.ivf_topk_quantized; the float-cosine ivf_topk is the
@@ -1756,6 +1914,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "syslog_rfc3164": q_syslog_rfc3164,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "dedup_clusters": q_dedup_clusters,
+    "incremental_dedup": q_incremental_dedup,
+    "length_quantiles": q_length_quantiles,
+    "embedding_neardup_verified": q_embedding_neardup_verified,
     "sessionize_events": q_sessionize_events,
     "doc_fingerprints": q_doc_fingerprints,
     "asof_last_purchase": q_asof_last_purchase,
@@ -1799,6 +1960,9 @@ ORACLES: dict[str, str] = {
     "syslog_rfc3164": SQL_SYSLOG_RFC3164,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "incremental_dedup": SQL_INCREMENTAL_DEDUP,
+    "length_quantiles": SQL_LENGTH_QUANTILES,
+    "embedding_neardup_verified": SQL_EMBEDDING_VERIFIED,
     "sessionize_events": SQL_SESSIONIZE,
     "doc_fingerprints": SQL_DOC_FINGERPRINTS,
     "asof_last_purchase": SQL_ASOF,
