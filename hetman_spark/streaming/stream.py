@@ -224,3 +224,36 @@ def dedup_stream(
     else:
         out = wm.dropDuplicates(keys)
     return out.drop("_content_hash") if key_cols is None else out
+
+
+def distinct_users_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Exact windowed distinct-user counts on a STREAM — the continuous
+    twin of the batch events_user_windows entry.
+
+    Streaming aggregations reject COUNT(DISTINCT), and HLL sketches
+    are engine/merge-order dependent (the same reason the batch entry
+    rejects them, entry_queries.q_events_user_windows).  The exact
+    streaming construction is dedup-then-count: drop duplicate
+    (window, user) pairs within the watermark, then a windowed count —
+    each surviving row is one distinct user in that window, and both
+    stateful stages are bounded by the same watermark.  Append-mode
+    output: a window's count emits once, when the watermark passes its
+    end (late events inside the watermark are still counted; later
+    ones are dropped — the documented streaming trade)."""
+    wstart = F.window(F.col(ts_col), window)
+    dd = (
+        events.withWatermark(ts_col, watermark)
+        .select(F.col(ts_col), wstart["start"].alias("wstart"), F.col(user_col).alias("u"))
+        .dropDuplicatesWithinWatermark(["wstart", "u"])
+    )
+    return (
+        dd.groupBy(F.window(F.col(ts_col), window).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(F.col("w.start").alias("window_start"), "n_users")
+    )

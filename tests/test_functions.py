@@ -403,3 +403,47 @@ def test_multiprobe_recall_measured_against_brute_force(spark, sf_dir):
     r_multi3 = recall(ivf_topk_multiprobe(e, queries, k=5, planes=2, nprobe=3, dim=64))
     assert r_single <= r_multi2 <= r_multi3  # monotone in nprobe
     assert r_multi3 >= 0.8, f"recall@5 {r_multi3} (single {r_single})"
+
+
+def test_connected_components_matches_union_find_reference(spark):
+    """Randomized cross-check: 30 seeded random graphs (disjointly
+    offset into ONE frame -> one Spark job) must produce exactly the
+    components a plain union-find computes."""
+    import random
+
+    rng = random.Random(42)
+    edges, expected_parent = [], {}
+
+    def uf_find(p, x):
+        while p[x] != x:
+            p[x] = p[p[x]]
+            x = p[x]
+        return x
+
+    offset = 0
+    all_nodes = []
+    for _ in range(30):
+        n = rng.randint(2, 40)
+        m = rng.randint(1, 60)
+        p = {i + offset: i + offset for i in range(n)}
+        for _ in range(m):
+            a, b = rng.randrange(n) + offset, rng.randrange(n) + offset
+            if a == b:
+                continue
+            edges.append((min(a, b), max(a, b)))
+            ra, rb = uf_find(p, a), uf_find(p, b)
+            if ra != rb:
+                p[max(ra, rb)] = min(ra, rb)
+        all_nodes.extend(p)
+        expected_parent.update(p)
+        offset += n
+
+    from hetman_spark.functions.dedup import connected_components
+
+    nodes_in_pairs = {v for e in edges for v in e}
+    expected = {
+        v: uf_find(expected_parent, v) for v in all_nodes if v in nodes_in_pairs
+    }
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["v"]: r["component"] for r in connected_components(df).collect()}
+    assert got == expected

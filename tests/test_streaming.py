@@ -196,3 +196,53 @@ def test_dedup_stream_drops_exact_dups_across_epochs(spark, tmp_path):
     ).collect()
     assert {r["text"] for r in rows} == {"alpha", "beta", "gamma"}
     assert all(r["n"] == 1 for r in rows)
+
+
+def test_distinct_users_stream_matches_batch_exact(spark, tmp_path):
+    """The streaming dedup-then-count construction must produce the
+    SAME exact per-window distinct-user counts as the batch entry's
+    COUNT(DISTINCT) once the watermark closes the windows."""
+    import datetime as dt
+
+    from hetman_spark.streaming.stream import distinct_users_stream
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    schema = "ts timestamp, user_id long"
+    h0 = [(base + dt.timedelta(minutes=m), u) for m, u in [(1, 1), (20, 1), (30, 2)]]
+    h1 = [(base + dt.timedelta(minutes=60 + m), u)
+          for m, u in [(5, 2), (10, 3), (50, 3), (55, 4)]]
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(h0 + h1, schema).coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "out")
+
+    def drain():
+        # parquet sink: supports resuming the same checkpoint across
+        # drains (the memory sink does not)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        q = (
+            distinct_users_stream(stream)
+            .writeStream.format("parquet").option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    # a far-future sentinel advances the watermark past H0/H1 so their
+    # append-mode results emit on the next drain
+    spark.createDataFrame(
+        [(base + dt.timedelta(hours=10), 99)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    drain()
+
+    got = {
+        r["window_start"]: r["n_users"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got.get(base) == 2            # users {1, 2}
+    assert got.get(base + dt.timedelta(hours=1)) == 3  # users {2, 3, 4}
