@@ -51,6 +51,9 @@ def main(argv: list[str] | None = None) -> int:
                         "decode + adapt, then union as the labeled source")
     r.add_argument("--jvm-parse", action="store_true",
                    help="use pure-JVM regex extraction instead of the pandas UDF")
+    r.add_argument("--dedup", action="store_true",
+                   help="exact content-dedup stage after parse (keep the min-url "
+                        "record per distinct text; corpus-build mode)")
 
     st = sub.add_parser(
         "stream",
@@ -199,6 +202,7 @@ def main(argv: list[str] | None = None) -> int:
                 presalt=args.presalt,
                 labeled_input_path=labeled_input,
                 config_reload_path=args.config if args.reload_config and args.config else None,
+                dedup=args.dedup,
             )
             n_splits_done += len(res.splits_processed)
             tot_in += res.rows_in

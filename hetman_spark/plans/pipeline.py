@@ -361,8 +361,21 @@ def run_pipeline(
     presalt: bool = False,
     labeled_input_path: str | None = None,
     config_reload_path: str | None = None,
+    dedup: bool = False,
 ) -> PipelineResult:
     """Resumable driver loop.
+
+    dedup=True inserts an exact content-dedup stage after the parse:
+    per commit batch, only the first record (min url) of each distinct
+    extracted_text survives to routing — the in-pipeline form of
+    functions/dedup.py:exact_dedup for corpus builds where duplicate
+    pages must not reach the sinks.  Deterministic keeper (window
+    row_number on (md5(text), url) — dropDuplicates would keep an
+    arbitrary partition-dependent row).  Costs one extra shuffle keyed
+    on the content hash, and per-split lineage/manifest rows then count
+    SURVIVING rows (what was shipped); the pre-dedup totals stay in
+    stage_counts (source.rows_in) with the drop recorded as
+    dedup.dropped.  Default off: the reference ships every record.
 
     Each iteration: one Spark job over <= splits_per_commit uncommitted
     splits -> dynamic-overwrite write partitioned by (sink_id,
@@ -477,6 +490,20 @@ def run_pipeline(
             F.count_if(F.col("parse_ok")).alias("rows_parsed"),
         )
 
+        flowed = parsed
+        obs_dedup = None
+        if dedup:
+            from pyspark.sql import Window
+
+            obs_dedup = Observation()
+            w_dd = Window.partitionBy(F.md5(F.col("extracted_text"))).orderBy("url")
+            flowed = (
+                parsed.withColumn("_dd_rn", F.row_number().over(w_dd))
+                .where(F.col("_dd_rn") == 1)
+                .drop("_dd_rn")
+                .observe(obs_dedup, F.count(F.lit(1)).alias("rows_kept"))
+            )
+
         def enrich(frame: DataFrame) -> DataFrame:
             if presalt:
                 return enrich_with_lookup(frame, lookup, on="lang",
@@ -490,7 +517,7 @@ def run_pipeline(
         # ones; commit cost of dynamic overwrite is O(files), and
         # this layout writes ~sinks x max(tasks, splits) files,
         # not tasks x dirs.
-        rebalanced = parsed.hint("rebalance", "split_id")
+        rebalanced = flowed.hint("rebalance", "split_id")
         # labels from a push source are data-dependent -> the
         # driver-validated disjoint fast path is off in that mode
         routed = build_routed(
@@ -513,12 +540,18 @@ def run_pipeline(
         result.phase_secs["write_job"] = result.phase_secs.get("write_job", 0.0) + (_t1 - _t0)
         p_metrics = obs_parse.get
         r_metrics = obs_route.get
-        for key, val in (
+        stage_pairs = [
             ("source.rows_in", p_metrics["rows_in"]),
             ("parse.rows_parsed", p_metrics["rows_parsed"]),
             ("parse.errors", p_metrics["rows_in"] - p_metrics["rows_parsed"]),
             ("route.rows_routed", r_metrics["rows_routed"]),
-        ):
+        ]
+        if obs_dedup is not None:
+            stage_pairs.append(
+                ("dedup.dropped",
+                 (p_metrics["rows_in"] or 0) - (obs_dedup.get["rows_kept"] or 0))
+            )
+        for key, val in stage_pairs:
             result.stage_counts[key] = result.stage_counts.get(key, 0) + int(val or 0)
 
         # lineage (A1/A2): per-split in/parsed/routed counts.  With a
@@ -533,7 +566,7 @@ def run_pipeline(
             in_counts, per_split_routes = _footer_lineage(data_dir, batch, matchall[0])
         else:
             routed_l = route_explode_static(
-                enrich(parsed), sinks,
+                enrich(flowed), sinks,
                 predicate_cols=["lang", "status_class", "region"])
             stats_df = routed_l.groupBy("split_id", "sink_id").agg(
                 F.count(F.lit(1)).alias("n"),
@@ -598,6 +631,12 @@ def run_pipeline(
                         (p_metrics["rows_in"] or 0) - (p_metrics["rows_parsed"] or 0)
                     ),
                     "route.rows_routed": int(r_metrics["rows_routed"] or 0),
+                    **(
+                        {"dedup.dropped": int(
+                            (p_metrics["rows_in"] or 0)
+                            - (obs_dedup.get["rows_kept"] or 0))}
+                        if obs_dedup is not None else {}
+                    ),
                 },
                 "sink_counts": dict(sorted(batch_routes.items())),
                 "phase_secs": {

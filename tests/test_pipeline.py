@@ -178,3 +178,40 @@ def test_output_file_count_is_commit_scale_safe(spark, tmp_path):
     # multiples of dirs
     assert len(files) <= n_sinks * n_splits * 4
     assert len(files) >= n_sinks  # sanity: all sinks materialized
+
+
+def test_pipeline_dedup_stage(spark, tmp_path):
+    """run_pipeline(dedup=True): duplicate texts (planted by copying
+    rows under new urls) are dropped deterministically — match-all
+    sink carries one record per distinct text, keeper = min url;
+    dedup.dropped counts the rest; default run still ships everything."""
+    from pyspark.sql import functions as F
+
+    src_dir = str(tmp_path / "src")
+    base = generate_webtext(spark, 400, n_splits=4)
+    # plant dups: 100 rows re-labeled with fresh urls, same html/text
+    dups = (
+        base.limit(100)
+        .withColumn("url", F.concat(F.lit("https://mirror.example.com/"), F.col("url")))
+        .withColumn("split_id", F.pmod(F.xxhash64("url"), F.lit(4)).cast("int"))
+    )
+    base.unionByName(dups).write.partitionBy("split_id").parquet(src_dir)
+
+    res_plain = run_pipeline(spark, src_dir, str(tmp_path / "out_plain"),
+                             splits_per_commit=8)
+    res_dd = run_pipeline(spark, src_dir, str(tmp_path / "out_dd"),
+                          splits_per_commit=8, dedup=True)
+
+    matchall = [s.signature() for s in __import__(
+        "hetman_spark.sources.lookup", fromlist=["DEFAULT_SINKS"]
+    ).DEFAULT_SINKS if s.predicate_col == "*"][0]
+    assert res_plain.sink_counts[matchall] == 500
+    assert res_dd.sink_counts[matchall] == 400
+    assert res_dd.stage_counts["dedup.dropped"] == 100
+    assert res_dd.stage_counts["source.rows_in"] == 500
+    # keeper determinism: no mirror url survives when the original
+    # (lexicographically smaller) is present
+    out = spark.read.parquet(str(tmp_path / "out_dd" / "data"))
+    survivors = out.filter(F.col("sink_id") == matchall)
+    assert survivors.filter(F.col("url").startswith("https://mirror.")).count() == 0
+    assert survivors.select("text").distinct().count() == 400
