@@ -71,6 +71,16 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("status", help="print the checkpoint manifest")
     s.add_argument("--out", required=True)
 
+    cp = sub.add_parser(
+        "compact",
+        help="rewrite {out}/data into one file per (sink_id, split_id) "
+        "partition — the small-files maintenance pass a long-running "
+        "incremental pipeline needs (each commit batch appends files; "
+        "B2's disk-segment analog at the archive level)",
+    )
+    cp.add_argument("--out", required=True)
+    cp.add_argument("--master", default=None)
+
     a = sub.add_parser("analyze", help="training-data report: text stats + dedup over a documents table")
     a.add_argument("--input", required=True, help="parquet with (doc_id, text, ...) columns")
     a.add_argument("--master", default=None)
@@ -280,6 +290,59 @@ def main(argv: list[str] | None = None) -> int:
             "pages_per_sec_processing": (
                 round(rows_in / proc_sec, 1) if proc_sec > 0 else None
             ),
+        }))
+        return 0
+
+    if args.cmd == "compact":
+        import glob as _glob
+        import os
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        data_dir = f"{args.out}/data"
+        files_before = len(_glob.glob(f"{data_dir}/*/*/*.parquet"))
+        df = spark.read.parquet(data_dir)
+        before = {
+            r["sink_id"]: r["n"]
+            for r in df.groupBy("sink_id").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        tmp_dir = f"{args.out}/data_compact_tmp"
+        # repartition BY the partition columns: each (sink_id, split_id)
+        # lands in exactly one task -> exactly one file per partition
+        # dir; compaction is a pure re-layout, no logic re-run
+        (
+            df.repartition(F.col("sink_id"), F.col("split_id"))
+            .write.mode("overwrite")
+            .option("compression", "zstd")
+            .partitionBy("sink_id", "split_id")
+            .parquet(tmp_dir)
+        )
+        after = {
+            r["sink_id"]: r["n"]
+            for r in spark.read.parquet(tmp_dir)
+            .groupBy("sink_id").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        if before != after:
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+            print(json.dumps({"cmd": "compact", "error": "count mismatch, aborted",
+                              "before": before, "after": after}))
+            return 1
+        # swap: verified-complete tmp replaces data.  The window between
+        # the two renames is the only non-atomic moment; a crash there
+        # leaves data_old intact for manual recovery (documented).
+        old_dir = f"{args.out}/data_old"
+        os.rename(data_dir, old_dir)
+        os.rename(tmp_dir, data_dir)
+        shutil.rmtree(old_dir, ignore_errors=True)
+        files_after = len(_glob.glob(f"{data_dir}/*/*/*.parquet"))
+        print(json.dumps({
+            "cmd": "compact",
+            "files_before": files_before,
+            "files_after": files_after,
+            "rows": sum(before.values()),
+            "sink_counts": dict(sorted(after.items())),
+            "sec": round(time.time() - t0, 2),
         }))
         return 0
 

@@ -417,6 +417,45 @@ FROM events GROUP BY 1
 """
 
 
+def q_events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING-window engagement (1 h window, 15 min slide) via Spark's
+    native window(ts, duration, slide) — each event fans out to 4
+    overlapping windows engine-side.  The oracle re-derives the fan-out
+    independently with epoch arithmetic (start_k = (floor(e)//900 - k)
+    * 900, k = 0..3 — every one of the 4 candidate windows contains the
+    event, so no filter), which cross-checks Spark's epoch-aligned
+    window placement rather than assuming it.  Scale shape: one
+    partial-aggregated shuffle of 4x (window, user) pairs."""
+    e = _t(spark, sf_dir, "events")
+    w = F.window(F.col("ts"), "1 hour", "15 minutes")
+    return (
+        e.groupBy(w.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias("window_start"),
+            "n_events",
+            "n_users",
+        )
+    )
+
+
+SQL_EVENTS_SLIDING = """
+WITH fan AS (
+  SELECT ts, user_id,
+         ((CAST(floor(epoch(ts)) AS BIGINT) // 900) - k.k) * 900 AS ws
+  FROM events
+  CROSS JOIN (SELECT CAST(unnest(range(4)) AS BIGINT) AS k) k
+)
+SELECT strftime(make_timestamp(ws * 1000000), '%Y-%m-%d %H:%M') AS window_start,
+       count(*) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM fan GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Router fan-out: per-ROW equality (stronger than counts)
 # ---------------------------------------------------------------------------
@@ -1905,6 +1944,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "events_windowed": q_events_windowed,
     "events_user_windows": q_events_user_windows,
+    "events_sliding_windows": q_events_sliding_windows,
     "route_fanout_rows": q_route_fanout_rows,
     "lang_scores": q_lang_scores,
     "minhash_band_pairs": q_minhash_band_pairs,
@@ -1951,6 +1991,7 @@ ORACLES: dict[str, str] = {
     "ann_cosine_topk": SQL_ANN_TOPK,
     "events_windowed": SQL_EVENTS_WINDOWED,
     "events_user_windows": SQL_EVENTS_USER_WINDOWS,
+    "events_sliding_windows": SQL_EVENTS_SLIDING,
     "route_fanout_rows": SQL_ROUTE_FANOUT_ROWS,
     "lang_scores": SQL_LANG_SCORES,
     "minhash_band_pairs": SQL_MINHASH_PAIRS,

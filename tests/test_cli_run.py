@@ -111,3 +111,51 @@ def test_cli_aggregator_payloads_mode(spark, tmp_path, capsys):
     assert rc == 0
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["rows_in"] == 501  # file rows + the pushed record
+
+
+def test_compact_cli_preserves_counts(spark, tmp_path, capsys):
+    """`compact` must rewrite data to one file per (sink, split)
+    partition with count-identical sink totals, and `status` must
+    still read the untouched manifest afterwards."""
+    import glob
+
+    src, out = str(tmp_path / "wt"), str(tmp_path / "out")
+
+    def run(*a):
+        rc = cli_main(list(a))
+        return rc, capsys.readouterr().out
+
+    rc, _ = run("generate", "--out", src, "--rows", "8000", "--splits", "4")
+    assert rc == 0
+    rc, out1 = run("run", "--input", src, "--out", out)
+    assert rc == 0
+    counts = json.loads(out1.strip().splitlines()[-1])["sink_counts"]
+
+    # fabricate the fragmented state a long incremental run reaches at
+    # real scale (many write tasks per partition over many commits):
+    # split every partition file into two halves, rows preserved
+    import os
+
+    import pyarrow.parquet as pq
+
+    for d in glob.glob(f"{out}/data/*/*"):
+        (f,) = glob.glob(f"{d}/*.parquet")
+        t = pq.read_table(f)
+        half = max(t.num_rows // 2, 1)
+        kw = {"flavor": "spark", "coerce_timestamps": "us",
+              "allow_truncated_timestamps": True}
+        pq.write_table(t.slice(0, half), f"{d}/part-frag0.parquet", **kw)
+        pq.write_table(t.slice(half), f"{d}/part-frag1.parquet", **kw)
+        os.remove(f)
+
+    rc, out2 = run("compact", "--out", out)
+    assert rc == 0
+    rep = json.loads(out2.strip().splitlines()[-1])
+    assert rep["sink_counts"] == dict(sorted(counts.items()))
+    assert rep["files_after"] < rep["files_before"]
+    # exactly one file per (sink_id, split_id) dir
+    for d in glob.glob(f"{out}/data/*/*"):
+        assert len(glob.glob(f"{d}/*.parquet")) == 1
+    rc, out3 = run("status", "--out", out)
+    assert rc == 0
+    assert json.loads(out3)["sink_counts"] == dict(sorted(counts.items()))
