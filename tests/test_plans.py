@@ -172,3 +172,15 @@ def test_queries_and_oracles_registries_agree():
     from hetman_spark.entry_queries import ORACLES, QUERIES
 
     assert set(QUERIES) == set(ORACLES)
+
+
+def test_incremental_dedup_is_keyed_anti_join(spark, sf_dir):
+    """The batch-append dedup must plan as a keyed anti-join on the
+    content hash (only hashes shuffle) — never a nested loop."""
+    from hetman_spark.entry_queries import q_incremental_dedup
+
+    df = q_incremental_dedup(spark, sf_dir)
+    plan = _physical_plan(df)
+    for shape in FORBIDDEN:
+        assert shape not in plan
+    assert "LeftAnti" in plan

@@ -35,6 +35,7 @@ _DOCS = [
 _ENTRIES = [
     "minhash_band_pairs",
     "ngram_jaccard_pairs",
+    "dedup_clusters",
     "contamination_overlap",
     "repetition_stats",
     "simhash_groups",
