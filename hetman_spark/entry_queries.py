@@ -534,9 +534,9 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # integer cross-multiplied rules, mirrored 1:1 from
 # functions/text.py:quality_filter; stop-word counting uses the same
 # length-difference trick as SQL_TEXT_STATS (DuckDB regexp_replace
-# needs 'g' to match Spark's replace-all).
-SQL_QUALITY_FILTER = r"""
-WITH m AS (
+# needs 'g' to match Spark's replace-all).  CTE block shared with the
+# composite corpus_keep_list oracle.
+_SQL_QUALITY_CTES = r"""m AS (
   SELECT doc_id,
     CAST(length(text) AS BIGINT) AS n_chars,
     CAST(CASE WHEN length(text) = 0 THEN 0
@@ -549,11 +549,7 @@ WITH m AS (
        + (length(lower(text)) - length(regexp_replace(lower(text), '\bis\b', '', 'g'))) / 2
        AS BIGINT) AS stop_hits
   FROM documents
-)
-SELECT doc_id,
-       reason = 'ok' AS kept,
-       reason
-FROM (
+), qreason AS (
   SELECT doc_id,
     CASE WHEN n_chars IS NULL THEN 'empty'
          WHEN n_tokens < 10 THEN 'too_short'
@@ -564,7 +560,14 @@ FROM (
          WHEN stop_hits < 1 THEN 'no_stopwords'
          ELSE 'ok' END AS reason
   FROM m
-)
+)"""
+
+SQL_QUALITY_FILTER = f"""
+WITH {_SQL_QUALITY_CTES}
+SELECT doc_id,
+       reason = 'ok' AS kept,
+       reason
+FROM qreason
 """
 
 
@@ -1010,6 +1013,88 @@ SELECT lang,
        max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN n_chars END) AS p90_chars,
        max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN n_chars END) AS p99_chars
 FROM ranked GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# The composite KEEP LIST: quality gate -> transitive near-dup
+# clustering -> deterministic sampling, composed into ONE declarative
+# plan — the end-of-pipeline verdict a corpus build ships.  Exercises
+# operator COMPOSITION under the oracle (each stage is independently
+# oracled elsewhere; here the composition itself is checked).
+# ---------------------------------------------------------------------------
+
+_KEEP_SAMPLE_THR = int(0.5 * (1 << 32))
+
+
+def q_corpus_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc final verdict with first-fail precedence
+    quality > neardup > sample:
+      'quality:<rule>'  failed the Gopher-style integer gate;
+      'neardup'         a non-keeper member of an LSH near-dup cluster;
+      'sampled_out'     above the 50% deterministic hash threshold;
+      'ok'              ships.
+    Scale shape: the quality gate is pure Catalyst per-row, clustering
+    shuffles only (hash, id) pairs, the sample is a per-row predicate —
+    the whole verdict is one plan with two keyed joins."""
+    from hetman_spark.functions.dedup import connected_components, shingles
+    from hetman_spark.functions.sample import _BUCKETS, _hash_bucket  # noqa: F401
+    from hetman_spark.functions.text import quality_filter
+
+    d = _tp(spark, sf_dir, "documents")
+    q = quality_filter(d).select("doc_id", F.col("reason").alias("q_reason"))
+    sh = d.select("doc_id", shingles(F.col("text"), 3).alias("sh"))
+    cc = connected_components(_band_pairs_from_shingles(sh))
+    non_keeper = (
+        cc.where(F.col("v") != F.col("component"))
+        .select(F.col("v").alias("doc_id"), F.lit(1).alias("is_dup"))
+    )
+    sampled_in = _hash_bucket(F.col("doc_id"), "s0") < F.lit(_KEEP_SAMPLE_THR)
+    verdict = (
+        F.when(F.col("q_reason") != "ok", F.concat(F.lit("quality:"), F.col("q_reason")))
+        .when(F.col("is_dup") == 1, F.lit("neardup"))
+        .when(~sampled_in, F.lit("sampled_out"))
+        .otherwise(F.lit("ok"))
+    )
+    return (
+        d.select("doc_id")
+        .join(q, "doc_id")
+        .join(non_keeper, "doc_id", "left")
+        .select("doc_id", verdict.alias("verdict"))
+        .withColumn("keep", (F.col("verdict") == "ok").cast("int"))
+    )
+
+
+SQL_CORPUS_KEEP_LIST = f"""
+WITH RECURSIVE {_SQL_PAIRS_CTES},
+edges AS (
+  SELECT id_a AS v, id_b AS u FROM pairs
+  UNION
+  SELECT id_b AS v, id_a AS u FROM pairs
+),
+reach(v, r) AS (
+  SELECT v, v FROM (SELECT DISTINCT v FROM edges)
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.v
+),
+non_keeper AS (
+  SELECT v AS doc_id FROM reach GROUP BY v HAVING v <> min(r)
+),
+{_SQL_QUALITY_CTES},
+verdicts AS (
+  SELECT d.doc_id,
+         CASE WHEN q.reason <> 'ok' THEN 'quality:' || q.reason
+              WHEN nk.doc_id IS NOT NULL THEN 'neardup'
+              WHEN CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 's0'), 1, 8)
+                   AS BIGINT) >= {_KEEP_SAMPLE_THR} THEN 'sampled_out'
+              ELSE 'ok' END AS verdict
+  FROM documents d
+  JOIN qreason q USING (doc_id)
+  LEFT JOIN non_keeper nk USING (doc_id)
+)
+SELECT doc_id, verdict,
+       CAST(CASE WHEN verdict = 'ok' THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM verdicts
 """
 
 
@@ -1956,6 +2041,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "incremental_dedup": q_incremental_dedup,
     "length_quantiles": q_length_quantiles,
+    "corpus_keep_list": q_corpus_keep_list,
     "embedding_neardup_verified": q_embedding_neardup_verified,
     "sessionize_events": q_sessionize_events,
     "doc_fingerprints": q_doc_fingerprints,
@@ -2003,6 +2089,7 @@ ORACLES: dict[str, str] = {
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "incremental_dedup": SQL_INCREMENTAL_DEDUP,
     "length_quantiles": SQL_LENGTH_QUANTILES,
+    "corpus_keep_list": SQL_CORPUS_KEEP_LIST,
     "embedding_neardup_verified": SQL_EMBEDDING_VERIFIED,
     "sessionize_events": SQL_SESSIONIZE,
     "doc_fingerprints": SQL_DOC_FINGERPRINTS,
