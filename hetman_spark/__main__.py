@@ -332,8 +332,24 @@ def main(argv: list[str] | None = None) -> int:
         # the two renames is the only non-atomic moment; a crash there
         # leaves data_old intact for manual recovery (documented).
         old_dir = f"{args.out}/data_old"
-        os.rename(data_dir, old_dir)
-        os.rename(tmp_dir, data_dir)
+        # Re-runnability after the documented crash window: a previous
+        # crashed compaction can leave data_old behind, and os.rename
+        # onto a non-empty dir raises ENOTEMPTY — clear it first.  If
+        # the swap itself fails, remove the tmp dir so the command can
+        # simply be re-run (data/ is still intact at that point).
+        shutil.rmtree(old_dir, ignore_errors=True)
+        try:
+            os.rename(data_dir, old_dir)
+        except OSError:
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+            raise
+        try:
+            os.rename(tmp_dir, data_dir)
+        except OSError:
+            # roll data/ back so the store is never left without it
+            os.rename(old_dir, data_dir)
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+            raise
         shutil.rmtree(old_dir, ignore_errors=True)
         files_after = len(_glob.glob(f"{data_dir}/*/*/*.parquet"))
         print(json.dumps({

@@ -38,12 +38,20 @@ def validate_predicate_cols(sinks, predicate_cols: list[str]) -> None:
     error, not an empty sink.  `sinks` is any iterable of objects/dicts
     with predicate_col; "*" always matches and is exempt."""
     offered = set(predicate_cols)
+
+    def _get(s, k):
+        return s[k] if isinstance(s, dict) else getattr(s, k)
+
+    # Mirror the routers' match condition exactly (`c == "*" or v == "*"`
+    # is match-ALL): a sink with predicate_val="*" matches every row no
+    # matter what predicate_col says, so it must not be rejected.
     bad = sorted(
         {
-            c
+            _get(s, "predicate_col")
             for s in sinks
-            for c in [s["predicate_col"] if isinstance(s, dict) else s.predicate_col]
-            if c != "*" and c not in offered
+            if _get(s, "predicate_col") != "*"
+            and _get(s, "predicate_val") != "*"
+            and _get(s, "predicate_col") not in offered
         }
     )
     if bad:

@@ -496,10 +496,20 @@ def run_pipeline(
             from pyspark.sql import Window
 
             obs_dedup = Observation()
-            w_dd = Window.partitionBy(F.md5(F.col("extracted_text"))).orderBy("url")
+            # P6 invariant: parse-failure rows (extracted_text NULL) are
+            # NEVER deduped away — md5(NULL)=NULL would otherwise pool
+            # every unparseable row of the batch into ONE window
+            # partition and collapse them to a single survivor.  Key the
+            # window on coalesce(hash, url) so failures spread across
+            # partitions, and belt-and-braces keep ANY null-text row
+            # regardless of its row_number (two failures sharing a url
+            # must both pass through).
+            w_dd = Window.partitionBy(
+                F.coalesce(F.md5(F.col("extracted_text")), F.col("url"))
+            ).orderBy("url")
             flowed = (
                 parsed.withColumn("_dd_rn", F.row_number().over(w_dd))
-                .where(F.col("_dd_rn") == 1)
+                .where((F.col("_dd_rn") == 1) | F.col("extracted_text").isNull())
                 .drop("_dd_rn")
                 .observe(obs_dedup, F.count(F.lit(1)).alias("rows_kept"))
             )

@@ -216,8 +216,15 @@ def dedup_stream(
     batch exact_dedup remains the exhaustive ground truth for
     compaction passes.
     """
-    hashed = lines.withColumn("_content_hash", F.md5(F.col("text").cast("binary")))
-    keys = key_cols or ["_content_hash"]
+    if key_cols is None:
+        # Only pay the per-row md5 when it is actually the dedup key;
+        # caller-supplied key_cols dedup on their own columns and must
+        # not see an internal _content_hash column in the output schema.
+        hashed = lines.withColumn("_content_hash", F.md5(F.col("text").cast("binary")))
+        keys = ["_content_hash"]
+    else:
+        hashed = lines
+        keys = key_cols
     wm = hashed.withWatermark(ts_col, watermark)
     if exact_within_watermark:
         out = wm.dropDuplicatesWithinWatermark(keys)

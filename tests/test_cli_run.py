@@ -159,3 +159,16 @@ def test_compact_cli_preserves_counts(spark, tmp_path, capsys):
     rc, out3 = run("status", "--out", out)
     assert rc == 0
     assert json.loads(out3)["sink_counts"] == dict(sorted(counts.items()))
+
+    # r4 ADVICE low: a previous CRASHED compaction leaves a non-empty
+    # data_old behind (the documented crash window); os.rename onto it
+    # raises ENOTEMPTY — compact must clear it and stay re-runnable.
+    stale = tmp_path / "out" / "data_old"
+    (stale / "sink_id=zombie").mkdir(parents=True)
+    (stale / "sink_id=zombie" / "junk.parquet").write_bytes(b"not parquet")
+    rc, out4 = run("compact", "--out", out)
+    assert rc == 0
+    assert json.loads(out4.strip().splitlines()[-1])["sink_counts"] == dict(
+        sorted(counts.items())
+    )
+    assert not stale.exists()

@@ -215,3 +215,39 @@ def test_pipeline_dedup_stage(spark, tmp_path):
     survivors = out.filter(F.col("sink_id") == matchall)
     assert survivors.filter(F.col("url").startswith("https://mirror.")).count() == 0
     assert survivors.select("text").distinct().count() == 400
+
+
+def test_dedup_stage_keeps_parse_failures(spark, tmp_path):
+    """P6 x --dedup (r4 ADVICE medium): parse-failure rows have NULL
+    extracted_text, and md5(NULL)=NULL pooled EVERY unparseable row of
+    a commit batch into one window partition — distinct failures
+    silently collapsed to a single survivor.  The dedup key must fall
+    back to url for null-text rows and never drop a failure row."""
+    from pyspark.sql import functions as F
+
+    src_dir = str(tmp_path / "src")
+    base = generate_webtext(spark, 300, n_splits=4)
+    # 40 corrupt pages: distinct urls, html that matches no template —
+    # all parse to NULL extracted_text (identical garbage bytes, the
+    # worst case for a content-hash key)
+    corrupt = (
+        base.limit(40)
+        .withColumn("url", F.concat(F.lit("https://broken.example.com/"), F.col("url")))
+        .withColumn("html", F.lit(b"\xef\xbb\xbfNOT-A-TEMPLATE-PAGE"))
+        .withColumn("split_id", F.pmod(F.xxhash64("url"), F.lit(4)).cast("int"))
+    )
+    base.unionByName(corrupt).write.partitionBy("split_id").parquet(src_dir)
+
+    res = run_pipeline(spark, src_dir, str(tmp_path / "out"),
+                       splits_per_commit=8, dedup=True)
+    matchall = [s.signature() for s in __import__(
+        "hetman_spark.sources.lookup", fromlist=["DEFAULT_SINKS"]
+    ).DEFAULT_SINKS if s.predicate_col == "*"][0]
+    # all 300 unique texts AND all 40 failures ship; dedup drops nothing
+    assert res.sink_counts[matchall] == 340
+    assert res.stage_counts["dedup.dropped"] == 0
+    out = spark.read.parquet(str(tmp_path / "out" / "data"))
+    broken = out.filter(
+        (F.col("sink_id") == matchall) & F.col("url").startswith("https://broken.")
+    )
+    assert broken.count() == 40

@@ -66,3 +66,24 @@ def test_router_rejects_unknown_predicate_col(spark):
         )
     # the valid set still passes validation untouched
     validate_predicate_cols(DEFAULT_SINKS, ["lang", "status_class", "region"])
+
+
+def test_validator_exempts_matchall_predicate_val(spark):
+    """r4 ADVICE low: the routers treat predicate_val="*" as match-ALL
+    regardless of predicate_col (`c == "*" or v == "*"`), so the
+    validator must not reject a sink whose col is unknown but whose
+    val is "*" — that config routes every row, not zero."""
+    from hetman_spark.config import SinkConfig
+    from hetman_spark.operators.route import route_per_sink, validate_predicate_cols
+
+    matchall_odd_col = (
+        SinkConfig(url="s3://all", predicate_col="not_a_column", predicate_val="*"),
+    )
+    validate_predicate_cols(matchall_odd_col, ["lang"])  # must not raise
+    df = spark.range(3).selectExpr("'en' AS lang")
+    routed = route_per_sink(
+        df,
+        [{"sink_id": "all", "predicate_col": "not_a_column", "predicate_val": "*"}],
+        ["lang"],
+    )
+    assert routed["all"].count() == 3  # really match-all
