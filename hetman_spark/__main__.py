@@ -54,6 +54,14 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--dedup", action="store_true",
                    help="exact content-dedup stage after parse (keep the min-url "
                         "record per distinct text; corpus-build mode)")
+    r.add_argument("--neardup", action="store_true",
+                   help="NEAR-duplicate stage after parse (MinHash LSH -> "
+                        "Jaccard verify -> transitive clustering per commit "
+                        "batch; keep one doc per near-dup cluster; composable "
+                        "with --dedup)")
+    r.add_argument("--neardup-jaccard", type=float, default=0.8,
+                   help="exact n-gram Jaccard threshold a candidate pair must "
+                        "meet to count as a near-dup (default 0.8)")
 
     st = sub.add_parser(
         "stream",
@@ -213,6 +221,8 @@ def main(argv: list[str] | None = None) -> int:
                 labeled_input_path=labeled_input,
                 config_reload_path=args.config if args.reload_config and args.config else None,
                 dedup=args.dedup,
+                neardup=args.neardup,
+                neardup_jaccard=args.neardup_jaccard,
             )
             n_splits_done += len(res.splits_processed)
             tot_in += res.rows_in

@@ -331,6 +331,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iters: int = 25,
+    check_every: int = 2,
 ) -> DataFrame:
     """(node, component) for every node that appears in `pairs`;
     component = the MINIMUM node id reachable in the undirected pair
@@ -367,6 +368,15 @@ def connected_components(
     Deterministic on any cluster size/partitioning (min is
     commutative); raises if max_iters rounds don't converge (2^25
     chain depth) rather than returning a half-merged clustering.
+
+    check_every: fingerprint-collect cadence (r4 VERDICT #6).  The
+    convergence test is one driver round-trip per check; pointer
+    jumping makes odd-round progress nearly certain, so checking every
+    2nd round halves driver syncs at the cost of at most ONE extra
+    (cheap, already-converged) round of joins.  Labels are monotone
+    non-increasing, so a fingerprint unchanged across k rounds proves
+    NOTHING moved in any of them — skipping checks never falsely
+    converges.  1 restores the per-round check.
     """
     a, b = F.col(src).alias("v"), F.col(dst).alias("u")
     # checkpoint the edge list: it joins into EVERY round, and without
@@ -386,7 +396,7 @@ def connected_components(
 
     fingerprint = fp(labels)
 
-    for _ in range(max_iters):
+    for it in range(max_iters):
         nbr_min = (
             edges.join(labels.withColumnRenamed("v", "u").withColumnRenamed("label", "lu"), "u")
             .groupBy("v")
@@ -406,10 +416,11 @@ def connected_components(
             .select(F.col("v"), F.col("label2").alias("label"))
         )
         labels = jumped.localCheckpoint(eager=True)
-        new_fp = fp(labels)
-        if new_fp == fingerprint:
-            return labels.select("v", F.col("label").alias("component"))
-        fingerprint = new_fp
+        if (it + 1) % check_every == 0 or it == max_iters - 1:
+            new_fp = fp(labels)
+            if new_fp == fingerprint:
+                return labels.select("v", F.col("label").alias("component"))
+            fingerprint = new_fp
     raise RuntimeError(
         f"connected_components did not converge in {max_iters} rounds "
         "(pathological chain > 2^25 deep?)"

@@ -362,6 +362,8 @@ def run_pipeline(
     labeled_input_path: str | None = None,
     config_reload_path: str | None = None,
     dedup: bool = False,
+    neardup: bool = False,
+    neardup_jaccard: float = 0.8,
 ) -> PipelineResult:
     """Resumable driver loop.
 
@@ -376,6 +378,27 @@ def run_pipeline(
     SURVIVING rows (what was shipped); the pre-dedup totals stay in
     stage_counts (source.rows_in) with the drop recorded as
     dedup.dropped.  Default off: the reference ships every record.
+
+    neardup=True inserts the NEAR-duplicate stage after (and composable
+    with) the exact one: per commit batch, banded MinHash LSH over the
+    parsed text (functions/dedup.py:minhash_lsh_candidates — bucketed
+    equi-join, hot-bucket cap, texts never shuffled) -> exact n-gram
+    Jaccard VERIFICATION of the candidates (ngram_jaccard, a
+    candidate-only join; pairs below `neardup_jaccard` are discarded —
+    without this, LSH band collisions on short/small-vocab docs drop
+    legitimately distinct pages: measured 23% of a unique-text
+    synthetic corpus at the default banding) -> transitive clustering
+    (connected_components: O(log n) keyed self-joins of (id, label))
+    -> every cluster member except the keeper is dropped before
+    routing.  Node ids are xxhash64(url) (CC's label algebra and
+    convergence fingerprint need BIGINTs); the keeper is therefore the
+    min-HASH member — deterministic on any cluster size, independent of
+    partitioning.  Parse-failure rows have no text, join no bucket, and
+    always pass through (P6).  The drop is recorded as neardup.dropped;
+    lineage counts surviving rows like --dedup.  Batch-scoped by
+    design: candidate recall spans one commit batch (cross-batch
+    near-dups need the offline dedup_clusters pass or the incremental
+    signature-table path — see COVERAGE).
 
     Each iteration: one Spark job over <= splits_per_commit uncommitted
     splits -> dynamic-overwrite write partitioned by (sink_id,
@@ -514,6 +537,48 @@ def run_pipeline(
                 .observe(obs_dedup, F.count(F.lit(1)).alias("rows_kept"))
             )
 
+        obs_neardup = None
+        if neardup:
+            from hetman_spark.functions.dedup import (
+                connected_components,
+                minhash_lsh_candidates,
+                ngram_jaccard,
+            )
+
+            # LSH + Jaccard verify + CC over THIS batch's parsed text.
+            # The CC call localCheckpoints its edge list eagerly, which
+            # materializes the verified pairs once (one extra parse
+            # pass over the batch — same cost class as the lineage
+            # agg); each CC round then shuffles only (id, label) pairs,
+            # never text.
+            docs = flowed.where(F.col("extracted_text").isNotNull()).select(
+                F.xxhash64(F.col("url")).alias("doc_id"),
+                F.col("extracted_text").alias("text"),
+            )
+            pairs = minhash_lsh_candidates(docs, text_col="text", id_col="doc_id")
+            verified = (
+                ngram_jaccard(pairs, docs, text_col="text", id_col="doc_id")
+                .where(F.col("jaccard") >= F.lit(neardup_jaccard))
+                .select("id_a", "id_b")
+            )
+            cc = connected_components(verified)
+            # non-keepers: every cluster member but the min-hash one.
+            # The drop list is tiny relative to the batch (only members
+            # of near-dup clusters); AQE turns the anti-join into a
+            # broadcast when it fits.
+            drop_ids = cc.where(F.col("v") != F.col("component")).select(
+                F.col("v").alias("_nd_id")
+            )
+            obs_neardup = Observation()
+            flowed = (
+                flowed.join(
+                    drop_ids,
+                    F.xxhash64(F.col("url")) == F.col("_nd_id"),
+                    "left_anti",
+                )
+                .observe(obs_neardup, F.count(F.lit(1)).alias("rows_kept"))
+            )
+
         def enrich(frame: DataFrame) -> DataFrame:
             if presalt:
                 return enrich_with_lookup(frame, lookup, on="lang",
@@ -560,6 +625,17 @@ def run_pipeline(
             stage_pairs.append(
                 ("dedup.dropped",
                  (p_metrics["rows_in"] or 0) - (obs_dedup.get["rows_kept"] or 0))
+            )
+        if obs_neardup is not None:
+            # input to the near-dup stage = exact-dedup survivors when
+            # both stages run, else the raw parse output
+            nd_in = (
+                (obs_dedup.get["rows_kept"] or 0)
+                if obs_dedup is not None
+                else (p_metrics["rows_in"] or 0)
+            )
+            stage_pairs.append(
+                ("neardup.dropped", nd_in - (obs_neardup.get["rows_kept"] or 0))
             )
         for key, val in stage_pairs:
             result.stage_counts[key] = result.stage_counts.get(key, 0) + int(val or 0)
@@ -646,6 +722,14 @@ def run_pipeline(
                             (p_metrics["rows_in"] or 0)
                             - (obs_dedup.get["rows_kept"] or 0))}
                         if obs_dedup is not None else {}
+                    ),
+                    **(
+                        {"neardup.dropped": int(
+                            ((obs_dedup.get["rows_kept"] or 0)
+                             if obs_dedup is not None
+                             else (p_metrics["rows_in"] or 0))
+                            - (obs_neardup.get["rows_kept"] or 0))}
+                        if obs_neardup is not None else {}
                     ),
                 },
                 "sink_counts": dict(sorted(batch_routes.items())),

@@ -251,3 +251,83 @@ def test_dedup_stage_keeps_parse_failures(spark, tmp_path):
         (F.col("sink_id") == matchall) & F.col("url").startswith("https://broken.")
     )
     assert broken.count() == 40
+
+
+def test_pipeline_neardup_stage(spark, tmp_path):
+    """run_pipeline(neardup=True) (r4 VERDICT #2): planted near-dup
+    pages (one token appended to the text) are clustered via MinHash
+    LSH + connected components per commit batch; every cluster
+    non-keeper is absent from the sinks, the drop is in
+    neardup.dropped, and a rerun is idempotent."""
+    from pyspark.sql import functions as F
+
+    from hetman_spark.functions.dedup import (
+        connected_components,
+        minhash_lsh_candidates,
+        ngram_jaccard,
+    )
+
+    src_dir = str(tmp_path / "src")
+    base = generate_webtext(spark, 300, n_splits=4)
+    # 40 near-dups: same page, one token appended inside <p>...</p>
+    # (html AND golden text mutated consistently)
+    near = (
+        base.limit(40)
+        .withColumn("url", F.concat(F.lit("https://near.example.com/"), F.col("url")))
+        .withColumn(
+            "html",
+            F.encode(
+                F.regexp_replace(
+                    F.decode(F.col("html"), "UTF-8"), "</p>", " zzznear</p>"
+                ),
+                "UTF-8",
+            ),
+        )
+        .withColumn("text", F.concat(F.col("text"), F.lit(" zzznear")))
+        .withColumn("split_id", F.pmod(F.xxhash64("url"), F.lit(4)).cast("int"))
+    )
+    base.unionByName(near).write.partitionBy("split_id").parquet(src_dir)
+
+    res = run_pipeline(spark, src_dir, str(tmp_path / "out"),
+                       splits_per_commit=8, neardup=True)
+
+    # offline expectation: the same LSH -> Jaccard>=0.8 -> CC math over
+    # the golden text column (byte-identical to the extracted text by
+    # construction)
+    src = spark.read.parquet(src_dir)
+    docs = src.select(F.xxhash64("url").alias("doc_id"), "text")
+    pairs = minhash_lsh_candidates(docs, id_col="doc_id")
+    verified = (
+        ngram_jaccard(pairs, docs, id_col="doc_id")
+        .where(F.col("jaccard") >= 0.8)
+        .select("id_a", "id_b")
+    )
+    cc = connected_components(verified)
+    dropped = {r["v"] for r in cc.where(F.col("v") != F.col("component")).collect()}
+    # the verified stage must have caught most planted mutations
+    # (J = (w-2)/(w-1) for a w-word doc: >= 0.8 for every w >= 6)
+    # without mass-dropping distinct short docs
+    assert 25 <= len(dropped) <= 60
+
+    matchall = [s.signature() for s in __import__(
+        "hetman_spark.sources.lookup", fromlist=["DEFAULT_SINKS"]
+    ).DEFAULT_SINKS if s.predicate_col == "*"][0]
+    assert res.sink_counts[matchall] == 340 - len(dropped)
+    assert res.stage_counts["neardup.dropped"] == len(dropped)
+    assert res.stage_counts["source.rows_in"] == 340
+
+    out = spark.read.parquet(str(tmp_path / "out" / "data"))
+    shipped = {
+        r["h"]
+        for r in out.filter(F.col("sink_id") == matchall)
+        .select(F.xxhash64("url").alias("h")).collect()
+    }
+    assert shipped.isdisjoint(dropped)  # no cluster non-keeper shipped
+    assert len(shipped) == 340 - len(dropped)
+
+    # idempotence with the stage on: rerun processes nothing, output
+    # counts unchanged
+    res2 = run_pipeline(spark, src_dir, str(tmp_path / "out"),
+                        splits_per_commit=8, neardup=True)
+    assert res2.splits_processed == []
+    assert out.filter(F.col("sink_id") == matchall).count() == 340 - len(dropped)
