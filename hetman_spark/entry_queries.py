@@ -763,12 +763,13 @@ def q_minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _band_pairs_from_shingles(sh)
 
 
-def _band_pairs_from_shingles(sh: DataFrame) -> DataFrame:
-    """(doc_id, sh: array<string>) -> candidate pairs.  min(md5) per
-    salt is computed as array_min over a per-row transform — pure
-    expressions, NO explode+groupBy shuffle (lexicographic min over
-    the same md5 set, identical to the DuckDB unnest+min twin).  The
-    only shuffle left is the tiny (band, bucket, doc_id) self-join."""
+def _bands_from_shingles(sh: DataFrame) -> DataFrame:
+    """(doc_id, sh: array<string>) -> (doc_id, band, bucket) band-key
+    rows.  min(md5) per salt is computed as array_min over a per-row
+    transform — pure expressions, NO explode+groupBy shuffle
+    (lexicographic min over the same md5 set, identical to the DuckDB
+    unnest+min twin).  This IS the persistable LSH signature table of
+    the incremental path."""
 
     def msig(salt: str):
         # closure, not a default-arg lambda (2-param transform lambdas
@@ -780,7 +781,7 @@ def _band_pairs_from_shingles(sh: DataFrame) -> DataFrame:
     sigs = sh.select(
         "doc_id", *[msig(s).alias(f"m{i}") for i, s in enumerate(_MINHASH_SALTS)]
     )
-    bands = sigs.select(
+    return sigs.select(
         "doc_id",
         F.explode(
             F.array(
@@ -789,6 +790,12 @@ def _band_pairs_from_shingles(sh: DataFrame) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+
+
+def _band_pairs_from_shingles(sh: DataFrame) -> DataFrame:
+    """(doc_id, sh) -> candidate pairs via the banded self-join; the
+    only shuffle is the tiny (band, bucket, doc_id) equi-join."""
+    bands = _bands_from_shingles(sh)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(b, ["band", "bucket"])
@@ -803,10 +810,10 @@ def _band_pairs_from_shingles(sh: DataFrame) -> DataFrame:
 # Jaccard oracles; same generator as the contamination 5-gram twin.
 _SQL_SHINGLES = _sql_shingles_n(3)
 
-# shared CTE chain: shingles -> md5 minhash signatures -> 2 bands ->
-# distinct candidate pairs; the band-pairs, Jaccard-verify and
-# transitive-clustering oracles all build on exactly this prefix
-_SQL_PAIRS_CTES = f"""sh AS ({_SQL_SHINGLES}),
+# shared CTE chain: shingles -> md5 minhash signatures -> 2 bands
+# (the band table is the persistable LSH signature table — the DuckDB
+# twin of _bands_from_shingles)
+_SQL_BANDS_CTES = f"""sh AS ({_SQL_SHINGLES}),
 sigs AS (
   SELECT doc_id,
          min(md5(w || 's0')) AS m0, min(md5(w || 's1')) AS m1,
@@ -817,10 +824,26 @@ sigs AS (
   SELECT doc_id, 0 AS band, md5(m0 || m1) AS bucket FROM sigs
   UNION ALL
   SELECT doc_id, 1 AS band, md5(m2 || m3) AS bucket FROM sigs
-), pairs AS (
+)"""
+
+# ... -> distinct candidate pairs; the band-pairs, Jaccard-verify and
+# transitive-clustering oracles all build on exactly this prefix
+_SQL_PAIRS_CTES = f"""{_SQL_BANDS_CTES}, pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
   WHERE a.doc_id < b.doc_id
+)"""
+
+# incremental variant: only incoming-vs-existing and in-batch pairs —
+# the corpus side contributes nothing but its persisted band rows
+_SQL_PAIRS_CTES_INC = f"""{_SQL_BANDS_CTES}, inc_pairs AS (
+  SELECT DISTINCT n.doc_id AS id_a, o.doc_id AS id_b
+  FROM bands n JOIN bands o ON n.band = o.band AND n.bucket = o.bucket
+  WHERE n.doc_id >= 250 AND o.doc_id < 250
+  UNION
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id >= 250 AND b.doc_id >= 250 AND a.doc_id < b.doc_id
 )"""
 
 SQL_MINHASH_PAIRS = f"""
@@ -938,9 +961,10 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id per hash).  Scale shape: only (hash, id) pairs move — a
     left_anti hash-join against the existing hash set plus one groupBy;
     the text column never shuffles.  At 100 TB the existing-hash side
-    is a bucketed table (or a bloom-filter pre-pass feeding the same
-    anti-join); the plan shape here is already that partitioned
-    anti-join."""
+    is a bucketed table, or the bloom pre-pass of
+    functions/dedup.py:incremental_dedup_bloom feeds the same anti-join
+    with the corpus pruned map-side (pytest-pinned identical results);
+    the plan shape here is already that partitioned anti-join."""
     d = _t(spark, sf_dir, "documents")
     hashed = d.select("doc_id", F.md5(F.col("text")).alias("text_hash"))
     existing = hashed.where(F.col("doc_id") < 250).select("text_hash")
@@ -964,6 +988,94 @@ WITH hashed AS (
 )
 SELECT text_hash, min(doc_id) AS keeper_id, count(*) AS n_in_batch
 FROM fresh GROUP BY text_hash
+"""
+
+
+def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-append NEAR-dup (r4 VERDICT #4): the incoming batch
+    (doc_id >= 250) is checked against the existing corpus (doc_id <
+    250) via its PERSISTED band-signature table — the corpus text is
+    never re-scanned; only its (doc_id, band, bucket) rows join.  What
+    a crawler append actually runs:
+
+      candidate edges = (incoming x existing band collisions) UNION
+                        (in-batch band collisions)
+      components      = connected_components over those edges
+      per incoming doc:
+        'dup_of_corpus' — its component reaches an existing doc
+                          (component label < 250: labels are
+                          min-reachable ids and all corpus ids are
+                          smaller than batch ids by construction)
+        'dup_in_batch'  — corpus-free component, not the min member
+        'keep'          — cluster keeper, or no collision at all
+
+    Old-old edges are intentionally absent (the corpus was already
+    deduped when ingested) and provably irrelevant to the verdicts: an
+    incoming doc linked to ANY old doc is dup_of_corpus regardless of
+    corpus-internal structure, and corpus-free components contain only
+    in-batch edges.
+
+    Scale shape: two bucketed equi-joins of (doc_id, band, bucket)
+    rows + O(log n) CC rounds of (id, label) pairs; text never
+    shuffles.  At 100 TB the existing band table is bucketed on
+    (band, bucket), making the new-vs-old join co-located."""
+    from hetman_spark.functions.dedup import connected_components, shingles
+
+    d = _tp(spark, sf_dir, "documents")
+    sh = d.select("doc_id", shingles(F.col("text"), 3).alias("sh"))
+    bands = _bands_from_shingles(sh)
+    old_b = bands.where(F.col("doc_id") < 250)
+    new_b = bands.where(F.col("doc_id") >= 250)
+    cross = (
+        new_b.alias("n")
+        .join(old_b.alias("o"), ["band", "bucket"])
+        .select(F.col("n.doc_id").alias("id_a"), F.col("o.doc_id").alias("id_b"))
+        .distinct()
+    )
+    in_batch = (
+        new_b.alias("a")
+        .join(new_b.alias("b"), ["band", "bucket"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    cc = connected_components(cross.unionByName(in_batch))
+    incoming = d.where(F.col("doc_id") >= 250).select("doc_id")
+    out = incoming.join(cc, incoming["doc_id"] == cc["v"], "left")
+    status = (
+        F.when(F.col("component").isNull(), F.lit("keep"))
+        .when(F.col("component") < 250, F.lit("dup_of_corpus"))
+        .when(F.col("doc_id") == F.col("component"), F.lit("keep"))
+        .otherwise(F.lit("dup_in_batch"))
+    )
+    return out.select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).cast("long").alias("cluster_id"),
+        status.alias("status"),
+    )
+
+
+SQL_INCREMENTAL_NEARDUP = f"""
+WITH RECURSIVE {_SQL_PAIRS_CTES_INC},
+edges AS (
+  SELECT id_a AS v, id_b AS u FROM inc_pairs
+  UNION
+  SELECT id_b AS v, id_a AS u FROM inc_pairs
+),
+reach(v, r) AS (
+  SELECT v, v FROM (SELECT DISTINCT v FROM edges)
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.v
+),
+comp AS (SELECT v, min(r) AS component FROM reach GROUP BY v)
+SELECT d.doc_id,
+       CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS cluster_id,
+       CASE WHEN c.component IS NULL THEN 'keep'
+            WHEN c.component < 250 THEN 'dup_of_corpus'
+            WHEN d.doc_id = c.component THEN 'keep'
+            ELSE 'dup_in_batch' END AS status
+FROM documents d LEFT JOIN comp c ON c.v = d.doc_id
+WHERE d.doc_id >= 250
 """
 
 
@@ -2117,6 +2229,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "dedup_clusters": q_dedup_clusters,
     "incremental_dedup": q_incremental_dedup,
+    "incremental_neardup": q_incremental_neardup,
     "length_quantiles": q_length_quantiles,
     "corpus_keep_list": q_corpus_keep_list,
     "embedding_neardup_verified": q_embedding_neardup_verified,
@@ -2166,6 +2279,7 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "incremental_dedup": SQL_INCREMENTAL_DEDUP,
+    "incremental_neardup": SQL_INCREMENTAL_NEARDUP,
     "length_quantiles": SQL_LENGTH_QUANTILES,
     "corpus_keep_list": SQL_CORPUS_KEEP_LIST,
     "embedding_neardup_verified": SQL_EMBEDDING_VERIFIED,

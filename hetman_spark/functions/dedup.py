@@ -38,6 +38,95 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def bloom_bitset(
+    df: DataFrame, key_col: str, n_bits: int = 1 << 18, k: int = 5
+) -> list[int]:
+    """Build a Bloom filter over df[key_col] DISTRIBUTED and return it
+    as a packed list of 63-bit words (63, not 64 — ANSI mode throws on
+    BIGINT sign-bit overflow, the simhash lesson).
+
+    Bit positions are pmod(xxhash64(key, i), n_bits) for i in 0..k-1 —
+    a Spark built-in computable identically JVM-side at membership-test
+    time, so neither build nor probe ever leaves codegen.  The build
+    collects only the DISTINCT SET BITS (<= k * n_keys ints, the same
+    size class as the bitset itself), never the keys."""
+    pos = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(n_bits))
+                    for i in range(k)
+                ]
+            )
+        ).alias("p")
+    ).distinct()
+    words = [0] * ((n_bits + 62) // 63)
+    for r in pos.collect():
+        p = r["p"]
+        words[p // 63] |= 1 << (p % 63)
+    return words
+
+
+def bloom_might_contain(
+    bitset: list[int], key: Column, n_bits: int = 1 << 18, k: int = 5
+) -> Column:
+    """JVM-side membership test against a bloom_bitset: TRUE if every
+    of the k bit positions of `key` is set (no false negatives; false
+    positives bounded by (k*n/n_bits)^k).  The bitset travels as ONE
+    from_json folded constant; dynamic bit access avoids pyspark's
+    literal-only shiftleft via an element_at into a power-of-two mask
+    array."""
+    import json as _json
+
+    packed = F.from_json(F.lit(_json.dumps(bitset)), "array<bigint>")
+    pow2 = F.from_json(
+        F.lit(_json.dumps([1 << b for b in range(63)])), "array<bigint>"
+    )
+    test = F.lit(True)
+    for i in range(k):
+        p = F.pmod(F.xxhash64(key, F.lit(i)), F.lit(n_bits))
+        word = F.element_at(packed, F.floor(p / F.lit(63)).cast("int") + 1)
+        mask = F.element_at(pow2, F.pmod(p, F.lit(63)).cast("int") + 1)
+        test = test & (word.bitwiseAND(mask) != 0)
+    return test
+
+
+def incremental_dedup_bloom(
+    incoming: DataFrame,
+    existing: DataFrame,
+    key_col: str = "text_hash",
+    n_bits: int = 1 << 18,
+    k: int = 5,
+    min_existing_rows: int | None = None,
+) -> DataFrame:
+    """Incoming rows whose key is ABSENT from the existing corpus —
+    the incremental-dedup anti-join with the bloom pre-pass the
+    entry_queries.q_incremental_dedup docstring promises at scale.
+
+    Why the pre-pass: the plain `incoming ANTI JOIN existing` must
+    shuffle the ENTIRE existing key set (the anti-join's small side is
+    the LEFT, so no broadcast applies).  Instead, a Bloom filter over
+    the INCOMING batch's keys (the small side, built distributed by
+    bloom_bitset) prunes the existing corpus MAP-SIDE: only existing
+    keys that might collide with the batch (~|incoming| + false
+    positives) survive to the join, so the corpus-sized shuffle
+    disappears and AQE can broadcast the pruned remnant.  Bloom false
+    positives only add harmless extra rows to the exact anti-join —
+    results are IDENTICAL to the plain form (pytest-pinned).
+
+    min_existing_rows: size gate — below it (or when None the gate is
+    off) the plain anti-join is used; a bloom build costs one extra
+    job over incoming and only pays for itself when `existing` is
+    much larger than the batch."""
+    if min_existing_rows is not None and existing.count() < min_existing_rows:
+        return incoming.join(existing.select(key_col), key_col, "left_anti")
+    bitset = bloom_bitset(incoming, key_col, n_bits, k)
+    pruned = existing.select(key_col).where(
+        bloom_might_contain(bitset, F.col(key_col), n_bits, k)
+    )
+    return incoming.join(pruned, key_col, "left_anti")
+
+
 def shingles(text: Column, n: int = 3) -> Column:
     """Word n-gram shingle array (distinct), JVM-side: split -> sliding
     windows via transform over an index sequence.

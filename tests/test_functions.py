@@ -422,6 +422,44 @@ def test_multiprobe_recall_measured_against_brute_force(spark, sf_dir):
     assert r_t1 >= 0.8 and r_t2 >= 0.9  # measured floors
 
 
+def test_bloom_prepass_equals_plain_antijoin(spark, sf_dir):
+    """The bloom pre-pass (r4 VERDICT #7) must return EXACTLY the
+    plain anti-join's survivors: no false negatives by construction,
+    and false positives only feed extra rows into the exact anti-join.
+    Also pins the no-false-negative property directly: every existing
+    key that IS in the incoming batch passes the filter."""
+    from hetman_spark.functions.dedup import (
+        bloom_bitset,
+        bloom_might_contain,
+        incremental_dedup_bloom,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hashed = d.select("doc_id", F.md5(F.col("text")).alias("text_hash"))
+    existing = hashed.where(F.col("doc_id") < 250).select("text_hash")
+    incoming = hashed.where(F.col("doc_id") >= 250)
+
+    plain = incoming.join(existing, "text_hash", "left_anti")
+    bloomed = incremental_dedup_bloom(incoming, existing, n_bits=1 << 14)
+    assert sorted(r["doc_id"] for r in plain.collect()) == sorted(
+        r["doc_id"] for r in bloomed.collect()
+    )
+    # size gate: below the threshold the plain path runs (same result)
+    gated = incremental_dedup_bloom(
+        incoming, existing, min_existing_rows=10**9
+    )
+    assert gated.count() == plain.count()
+    # no false negatives: keys present in the batch always pass
+    bitset = bloom_bitset(incoming, "text_hash", n_bits=1 << 14)
+    present = incoming.select("text_hash")
+    assert (
+        present.where(
+            ~bloom_might_contain(bitset, F.col("text_hash"), n_bits=1 << 14)
+        ).count()
+        == 0
+    )
+
+
 def test_connected_components_matches_union_find_reference(spark):
     """Randomized cross-check: 30 seeded random graphs (disjointly
     offset into ONE frame -> one Spark job) must produce exactly the
