@@ -602,6 +602,15 @@ def run_pipeline(
         )
         obs_route = Observation()
         routed = routed.observe(obs_route, F.count(F.lit(1)).alias("rows_routed"))
+        # Sort within each write task on (partition cols, url): the
+        # file writer needs rows grouped by (sink_id, split_id) anyway
+        # (it sorts on the partition columns when a task spans several
+        # dirs), so appending url rides that same local sort for ~free
+        # — no extra shuffle — and gives every output file monotone
+        # url row groups: parquet min/max footer stats then prune
+        # downstream point/range scans on the natural key
+        # (BENCH.md 'sorted sink writes').
+        routed = routed.sortWithinPartitions("sink_id", "split_id", "url")
         import time as _time
 
         _t0 = _time.time()

@@ -179,6 +179,24 @@ def test_output_file_count_is_commit_scale_safe(spark, tmp_path):
     assert len(files) <= n_sinks * n_splits * 4
     assert len(files) >= n_sinks  # sanity: all sinks materialized
 
+    # sorted sink writes (r4 VERDICT #9): rows inside every output file
+    # are url-sorted (sortWithinPartitions rides the writer's required
+    # partition-column sort), so parquet footer min/max stats prune
+    # downstream scans on the natural key
+    import pyarrow.parquet as pq
+
+    for f in files[:6]:
+        urls = pq.read_table(f, columns=["url"])["url"].to_pylist()
+        assert urls == sorted(urls), f"unsorted urls in {f}"
+        md = pq.read_metadata(f)
+        rg = md.row_group(0)
+        url_cols = [
+            rg.column(i) for i in range(rg.num_columns)
+            if rg.column(i).path_in_schema == "url"
+        ]
+        st = url_cols[0].statistics
+        assert st is not None and st.has_min_max  # pruning stats present
+
 
 def test_pipeline_dedup_stage(spark, tmp_path):
     """run_pipeline(dedup=True): duplicate texts (planted by copying
