@@ -421,6 +421,7 @@ def connected_components(
     dst: str = "id_b",
     max_iters: int = 25,
     check_every: int = 2,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(node, component) for every node that appears in `pairs`;
     component = the MINIMUM node id reachable in the undirected pair
@@ -466,6 +467,9 @@ def connected_components(
     non-increasing, so a fingerprint unchanged across k rounds proves
     NOTHING moved in any of them — skipping checks never falsely
     converges.  1 restores the per-round check.
+
+    stats: pass a dict to receive {"rounds": n, "checks": m} back
+    (bench instrumentation; BENCH.md dedup-family record).
     """
     a, b = F.col(src).alias("v"), F.col(dst).alias("u")
     # checkpoint the edge list: it joins into EVERY round, and without
@@ -505,7 +509,11 @@ def connected_components(
             .select(F.col("v"), F.col("label2").alias("label"))
         )
         labels = jumped.localCheckpoint(eager=True)
+        if stats is not None:
+            stats["rounds"] = it + 1
         if (it + 1) % check_every == 0 or it == max_iters - 1:
+            if stats is not None:
+                stats["checks"] = stats.get("checks", 0) + 1
             new_fp = fp(labels)
             if new_fp == fingerprint:
                 return labels.select("v", F.col("label").alias("component"))

@@ -198,14 +198,16 @@ def test_dedup_stream_drops_exact_dups_across_epochs(spark, tmp_path):
     assert all(r["n"] == 1 for r in rows)
 
 
-def test_dedup_stream_custom_keys_clean_schema(spark):
+def test_dedup_stream_custom_keys_clean_schema(spark, tmp_path):
     """r4 ADVICE low: with caller-supplied key_cols the internal
     _content_hash column must neither be computed (wasted per-row md5)
     nor leak into the output schema."""
     from hetman_spark.streaming.stream import dedup_stream
 
     schema = "url string, warc_ts timestamp, text string"
-    lines = spark.readStream.schema(schema).parquet("/nonexistent-never-started")
+    src = tmp_path / "empty_src"
+    src.mkdir()
+    lines = spark.readStream.schema(schema).parquet(str(src))
     out = dedup_stream(lines, key_cols=["url"])
     assert "_content_hash" not in out.columns
     assert out.columns == lines.columns
