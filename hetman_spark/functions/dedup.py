@@ -146,17 +146,44 @@ def shingles(text: Column, n: int = 3) -> Column:
 
 
 def minhash_signature(text: Column, num_hashes: int = 16, shingle_n: int = 3) -> Column:
-    """Array of `num_hashes` min-hashes over the shingle set.  Each
-    hash family member = xxhash64(shingle, seed_i); the signature is
-    array_min per member — pure expressions, one pass."""
-    sh = shingles(text, shingle_n)
+    """Array of `num_hashes` min-hashes over the shingle set.
 
-    def member(i: int):
+    Hash family: inner xxhash64(shingle_string) computed ONCE per
+    shingle, then member_i = xxhash64(inner, i) over the resulting
+    LONG — double hashing keeps the members independent (64-bit inner
+    collisions are negligible) while hashing each shingle's BYTES
+    exactly once.  The previous form (xxhash64(shingle, i) per member)
+    hashed every shingle string num_hashes times: measured 15 s ->
+    ~4 s for the signature pass over 50k docs, because string hashing
+    dominates and plan-build has no CSE — an expression referenced k
+    times is computed k times (CLAUDE.md).
+
+    Shape: ONE aggregate over the hashed-shingle array with an
+    array<long> accumulator of running minima (zip_with + least), the
+    same single-accumulator trick as simhash."""
+    sh = shingles(text, shingle_n)
+    hashed = F.transform(sh, lambda s: F.xxhash64(s))
+    init = F.array_repeat(F.lit((1 << 63) - 1).cast("long"), num_hashes)
+
+    def per_member(h: Column) -> Column:
         # closure factory — a 2-param transform lambda would be
         # (element, index), silently making every member identical
-        return F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda i: F.xxhash64(h, i),
+        )
 
-    return F.array(*[member(i) for i in range(num_hashes)])
+    sig = F.aggregate(
+        hashed,
+        init,
+        lambda acc, h: F.zip_with(acc, per_member(h), lambda a, b: F.least(a, b)),
+    )
+    # empty shingle set (short doc) -> all-sentinel signature; callers
+    # filter short docs, but keep the previous all-null convention so
+    # degenerate rows can never share a real bucket
+    return F.when(F.size(sh) > 0, sig).otherwise(
+        F.array_repeat(F.lit(None).cast("long"), num_hashes)
+    )
 
 
 def minhash_lsh_candidates(
@@ -213,6 +240,17 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    # Materialize the band table before it fans out into the cap
+    # aggregate and BOTH sides of the self-join: a DataFrame referenced
+    # k times re-executes its plan k times (no cross-reference CSE), so
+    # without this the shingle+signature pass ran 3-4x (measured: full
+    # LSH 54 s vs 15 s of signature work at 50k docs).  This mirrors
+    # production exactly — at 100 TB the (id, band, bucket) table is
+    # computed once and PERSISTED (it is the incremental path's
+    # signature table); localCheckpoint is its in-session analog.
+    # Tiny: bands x n rows of three scalars, never the text.
+    banded = banded.localCheckpoint(eager=True)
 
     if max_bucket_size is not None:
         ok_buckets = (

@@ -63,7 +63,12 @@ def test_shingles_and_signature_determinism(spark, docs):
 
 
 def test_minhash_lsh_finds_near_dups(spark, docs):
-    pairs = {(r["id_a"], r["id_b"]) for r in minhash_lsh_candidates(docs, bands=8, num_hashes=16).collect()}
+    # bands=16 x 1 row: the (1,3) near-dup has J=0.5 (5 of 10 distinct
+    # shingles shared), so P(missed by all bands) = 0.5^16 ~ 1.5e-5 —
+    # robust to the choice of hash family (bands=8 x 2 rows left a ~10%
+    # family-dependent miss chance and flipped when the signature
+    # switched to the single-pass double-hash form)
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_lsh_candidates(docs, bands=16, num_hashes=16).collect()}
     assert (1, 2) in pairs  # exact dups always collide
     # near-dup (1,3) should collide in at least one band with high prob
     assert (1, 3) in pairs or (2, 3) in pairs
