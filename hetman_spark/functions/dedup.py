@@ -458,7 +458,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iters: int = 25,
-    check_every: int = 2,
+    check_every: int = 1,
     stats: dict | None = None,
 ) -> DataFrame:
     """(node, component) for every node that appears in `pairs`;
@@ -497,14 +497,18 @@ def connected_components(
     commutative); raises if max_iters rounds don't converge (2^25
     chain depth) rather than returning a half-merged clustering.
 
-    check_every: fingerprint-collect cadence (r4 VERDICT #6).  The
-    convergence test is one driver round-trip per check; pointer
-    jumping makes odd-round progress nearly certain, so checking every
-    2nd round halves driver syncs at the cost of at most ONE extra
-    (cheap, already-converged) round of joins.  Labels are monotone
+    check_every: fingerprint-collect cadence.  Labels are monotone
     non-increasing, so a fingerprint unchanged across k rounds proves
     NOTHING moved in any of them — skipping checks never falsely
-    converges.  1 restores the per-round check.
+    converges.  MEASURED (r4 VERDICT #6 asked for cadence 2; BENCH.md
+    'dedup-family record'): at 200k docs / 353k pairs, check_every=2
+    detects convergence 2 rounds LATE (rounds 8 -> 10) and the extra
+    rounds (~1 s each: two keyed joins + localCheckpoint) cost 5-10x
+    the saved fingerprint collects (~0.1 s narrow agg each): wall
+    10.2 s -> 12.1 s.  The ratio only worsens with data (rounds
+    shuffle, fingerprints partial-aggregate), so the default stays 1;
+    the knob remains for deployments where driver RTT genuinely
+    dominates a round (very small graphs on a remote cluster manager).
 
     stats: pass a dict to receive {"rounds": n, "checks": m} back
     (bench instrumentation; BENCH.md dedup-family record).
