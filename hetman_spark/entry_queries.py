@@ -991,6 +991,30 @@ FROM fresh GROUP BY text_hash
 """
 
 
+def q_incremental_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bloom-pre-pass incremental dedup END-TO-END under the value
+    oracle: functions/dedup.py:incremental_dedup_bloom prunes the
+    existing corpus map-side with a Bloom filter built over the
+    incoming batch's hashes, then runs the exact anti-join.  The
+    ORACLE IS THE PLAIN ANTI-JOIN SQL — legitimate because the bloom
+    has NO false negatives (every existing key colliding with the
+    batch passes the filter) and false positives only feed extra rows
+    into the exact join: the composition is provably result-identical
+    to the unfiltered form, and this entry pins that equivalence under
+    the driver's value-hash, not just pytest."""
+    from hetman_spark.functions.dedup import incremental_dedup_bloom
+
+    d = _t(spark, sf_dir, "documents")
+    hashed = d.select("doc_id", F.md5(F.col("text")).alias("text_hash"))
+    existing = hashed.where(F.col("doc_id") < 250).select("text_hash")
+    incoming = hashed.where(F.col("doc_id") >= 250)
+    fresh = incremental_dedup_bloom(incoming, existing, n_bits=1 << 14)
+    return fresh.groupBy("text_hash").agg(
+        F.min("doc_id").alias("keeper_id"),
+        F.count(F.lit(1)).alias("n_in_batch"),
+    )
+
+
 def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-append NEAR-dup (r4 VERDICT #4): the incoming batch
     (doc_id >= 250) is checked against the existing corpus (doc_id <
@@ -2229,6 +2253,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "dedup_clusters": q_dedup_clusters,
     "incremental_dedup": q_incremental_dedup,
+    "incremental_dedup_bloom": q_incremental_dedup_bloom,
     "incremental_neardup": q_incremental_neardup,
     "length_quantiles": q_length_quantiles,
     "corpus_keep_list": q_corpus_keep_list,
@@ -2279,6 +2304,7 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "incremental_dedup": SQL_INCREMENTAL_DEDUP,
+    "incremental_dedup_bloom": SQL_INCREMENTAL_DEDUP,
     "incremental_neardup": SQL_INCREMENTAL_NEARDUP,
     "length_quantiles": SQL_LENGTH_QUANTILES,
     "corpus_keep_list": SQL_CORPUS_KEEP_LIST,
