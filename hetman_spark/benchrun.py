@@ -160,6 +160,9 @@ def main() -> None:
                          "noop pre-pass — for interleaved min-of-rounds protocols "
                          "where later rounds serve as the deep warmup and the "
                          "input is already page-cache-hot from generation")
+    ap.add_argument("--neardup", action="store_true",
+                    help="run the pipeline with the in-pipeline near-dup stage "
+                         "(LSH -> Jaccard verify -> CC) for its scaling evidence")
     ap.add_argument("--dedup-bench", type=int, default=0, metavar="ROWS",
                     help="dedup-family scaling record: LSH banding + transitive "
                          "clustering over a deterministic ROWS-doc corpus with "
@@ -221,7 +224,7 @@ def main() -> None:
         # pass over the real input so JIT/codegen/Arrow paths are hot
         run_pipeline(spark, args.warmup_input, f"{scratch}/warmup",
                      salt_buckets=args.salt_buckets, splits_per_commit=1024,
-                     presalt=args.presalt)
+                     presalt=args.presalt, neardup=args.neardup)
         if not args.light_warmup:
             from pyspark.sql import functions as F
 
@@ -238,7 +241,7 @@ def main() -> None:
         t0 = time.time()
         res = run_pipeline(spark, args.input, f"{scratch}/out",
                            salt_buckets=args.salt_buckets, splits_per_commit=1024,
-                           presalt=args.presalt)
+                           presalt=args.presalt, neardup=args.neardup)
         sec = time.time() - t0
         print(json.dumps({
             "master": args.master,

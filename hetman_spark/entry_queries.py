@@ -1079,6 +1079,63 @@ def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unigram_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram-LM quality signal, integer-exact: per doc,
+    how COMMON its tokens are in the corpus.  Production pipelines
+    filter on LM perplexity; the engine-agnostic analog used here
+    scores each token by floor(log2(corpus_count)) — computed as
+    length(bin(count)) - 1, pure integer, so Spark and DuckDB agree
+    bit-for-bit where a float ln() could flip its last ulp across
+    engines.
+
+    Output per doc: n_tokens, commonness_sum (the unigram log-score
+    analog), rarest_bucket (min — a single hapax/misspelling flags
+    it), and distinct_tokens.
+
+    Scale shape: one groupBy(token) partial-agg builds the vocab, one
+    shuffle join keyed on token scores the corpus, one partial-agg
+    per-doc rollup — NO global sort anywhere (a rank-based score would
+    need a single-partition window over the whole vocabulary; the
+    log2-bucket score is sort-free by construction).  At 100 TB the
+    vocab table is computed once and broadcast/bucketed."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    bucket = (F.length(F.bin(F.col("cnt"))) - 1).cast("long")
+    scored = toks.join(vocab, "tok").select("doc_id", bucket.alias("b"))
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("b").alias("commonness_sum"),
+        F.min("b").alias("rarest_bucket"),
+    ).join(
+        toks.groupBy("doc_id").agg(
+            F.count_distinct(F.col("tok")).alias("distinct_tokens")
+        ),
+        "doc_id",
+    )
+
+
+SQL_UNIGRAM_COMMONNESS = """
+WITH toks AS (
+  SELECT doc_id, t.tok
+  FROM documents, unnest(regexp_split_to_array(lower(text), '\\s+')) AS t(tok)
+  WHERE t.tok != ''
+), vocab AS (
+  SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(length(bin(v.cnt)) - 1) AS BIGINT) AS commonness_sum,
+       CAST(min(length(bin(v.cnt)) - 1) AS BIGINT) AS rarest_bucket,
+       CAST(count(DISTINCT t.tok) AS BIGINT) AS distinct_tokens
+FROM toks t JOIN vocab v ON v.tok = t.tok
+GROUP BY t.doc_id
+"""
+
+
 SQL_INCREMENTAL_NEARDUP = f"""
 WITH RECURSIVE {_SQL_PAIRS_CTES_INC},
 edges AS (
@@ -2255,6 +2312,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_dedup": q_incremental_dedup,
     "incremental_dedup_bloom": q_incremental_dedup_bloom,
     "incremental_neardup": q_incremental_neardup,
+    "unigram_commonness": q_unigram_commonness,
     "length_quantiles": q_length_quantiles,
     "corpus_keep_list": q_corpus_keep_list,
     "embedding_neardup_verified": q_embedding_neardup_verified,
@@ -2306,6 +2364,7 @@ ORACLES: dict[str, str] = {
     "incremental_dedup": SQL_INCREMENTAL_DEDUP,
     "incremental_dedup_bloom": SQL_INCREMENTAL_DEDUP,
     "incremental_neardup": SQL_INCREMENTAL_NEARDUP,
+    "unigram_commonness": SQL_UNIGRAM_COMMONNESS,
     "length_quantiles": SQL_LENGTH_QUANTILES,
     "corpus_keep_list": SQL_CORPUS_KEEP_LIST,
     "embedding_neardup_verified": SQL_EMBEDDING_VERIFIED,
