@@ -546,14 +546,21 @@ def run_pipeline(
             )
 
             # LSH + Jaccard verify + CC over THIS batch's parsed text.
-            # The CC call localCheckpoints its edge list eagerly, which
-            # materializes the verified pairs once (one extra parse
-            # pass over the batch — same cost class as the lineage
-            # agg); each CC round then shuffles only (id, label) pairs,
-            # never text.
-            docs = flowed.where(F.col("extracted_text").isNotNull()).select(
-                F.xxhash64(F.col("url")).alias("doc_id"),
-                F.col("extracted_text").alias("text"),
+            # The (doc_id, text) projection is materialized ONCE: the
+            # LSH band build and BOTH shingle sides of the Jaccard
+            # verify reference it, and each DataFrame reference
+            # re-executes its plan (no cross-reference CSE) — without
+            # the checkpoint the pandas-UDF parse ran ~3 extra times
+            # per batch.  Production analog: persist the batch's doc
+            # projection before the dedup pass.  CC then shuffles only
+            # (id, label) pairs, never text.
+            docs = (
+                flowed.where(F.col("extracted_text").isNotNull())
+                .select(
+                    F.xxhash64(F.col("url")).alias("doc_id"),
+                    F.col("extracted_text").alias("text"),
+                )
+                .localCheckpoint(eager=True)
             )
             pairs = minhash_lsh_candidates(docs, text_col="text", id_col="doc_id")
             verified = (
