@@ -1079,6 +1079,102 @@ def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPAN_K = 5
+
+
+def q_span_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication at SPAN granularity — the
+    gram-hash decomposition of Lee et al. 2022's suffix-array exact
+    dedup ("Deduplicating Training Data Makes Language Models
+    Better"): a span duplicated across documents is detected as a
+    rolling k-gram whose hash occurs in >= 2 DISTINCT docs.  Per doc:
+    total k-gram positions, positions covered by a cross-doc
+    duplicated gram, and distinct duplicated grams — the span-level
+    contamination profile a substring-dedup pass cuts on.
+
+    Rolling grams are POSITIONAL (overlapping, NOT distinct-set
+    shingles): position i's gram = words[i..i+k-1], md5-hashed so both
+    engines agree.  Docs shorter than k tokens appear with zero
+    counts (LEFT join), never dropped.
+
+    Scale shape: the gram explode is one row per token position
+    (linear in corpus tokens, the same row count a tokenizer pass
+    already handles), the duplicated-gram table is a partial-agg
+    groupBy(hash) with an early HAVING filter, and the rejoin is
+    keyed on the hash — no sort, no suffix array, no cross join; this
+    is exactly how production replaces Lee's suffix automaton at
+    cluster scale."""
+    d = _t(spark, sf_dir, "documents")
+    k = _SPAN_K
+    words = F.split(F.lower(F.col("text")), r"\s+")
+    words = F.filter(words, lambda w: w != "")
+    n = F.size(words) - F.lit(k - 1)
+    grams = F.when(n > 0, F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(words, i + 1, k))),
+    )).otherwise(F.array().cast("array<string>"))
+    pos = d.select("doc_id", F.explode(grams).alias("g"))
+    dup_grams = (
+        pos.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("g")
+    )
+    per_doc = (
+        pos.join(dup_grams, "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_positions"),
+            F.count_distinct("g").alias("n_dup_grams"),
+        )
+    )
+    totals = pos.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_positions"))
+    return (
+        d.select("doc_id")
+        .join(totals, "doc_id", "left")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_positions", F.lit(0)).cast("long").alias("n_positions"),
+            F.coalesce("n_dup_positions", F.lit(0)).cast("long").alias("n_dup_positions"),
+            F.coalesce("n_dup_grams", F.lit(0)).cast("long").alias("n_dup_grams"),
+        )
+    )
+
+
+SQL_SPAN_DUP_STATS = f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x != '') AS ws
+  FROM documents
+), pos AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws) - {_SPAN_K} + 2),
+                i -> md5(array_to_string(ws[i:i+{_SPAN_K}-1], ' ')))) AS g
+  FROM w
+  WHERE len(ws) >= {_SPAN_K}
+), dup_grams AS (
+  SELECT g FROM pos GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+), per_doc AS (
+  SELECT p.doc_id,
+         count(*) AS n_dup_positions,
+         count(DISTINCT p.g) AS n_dup_grams
+  FROM pos p JOIN dup_grams d ON d.g = p.g
+  GROUP BY p.doc_id
+), totals AS (
+  SELECT doc_id, count(*) AS n_positions FROM pos GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(t.n_positions, 0) AS BIGINT) AS n_positions,
+       CAST(COALESCE(p.n_dup_positions, 0) AS BIGINT) AS n_dup_positions,
+       CAST(COALESCE(p.n_dup_grams, 0) AS BIGINT) AS n_dup_grams
+FROM documents d
+LEFT JOIN totals t ON t.doc_id = d.doc_id
+LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+"""
+
+
 def q_unigram_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style unigram-LM quality signal, integer-exact: per doc,
     how COMMON its tokens are in the corpus.  Production pipelines
@@ -2313,6 +2409,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_dedup_bloom": q_incremental_dedup_bloom,
     "incremental_neardup": q_incremental_neardup,
     "unigram_commonness": q_unigram_commonness,
+    "span_dup_stats": q_span_dup_stats,
     "length_quantiles": q_length_quantiles,
     "corpus_keep_list": q_corpus_keep_list,
     "embedding_neardup_verified": q_embedding_neardup_verified,
@@ -2365,6 +2462,7 @@ ORACLES: dict[str, str] = {
     "incremental_dedup_bloom": SQL_INCREMENTAL_DEDUP,
     "incremental_neardup": SQL_INCREMENTAL_NEARDUP,
     "unigram_commonness": SQL_UNIGRAM_COMMONNESS,
+    "span_dup_stats": SQL_SPAN_DUP_STATS,
     "length_quantiles": SQL_LENGTH_QUANTILES,
     "corpus_keep_list": SQL_CORPUS_KEEP_LIST,
     "embedding_neardup_verified": SQL_EMBEDDING_VERIFIED,
