@@ -1232,6 +1232,75 @@ GROUP BY t.doc_id
 """
 
 
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per doc by an integer-exact tf-idf:
+    score = tf * floor(log2(n_docs / df)) with the idf bucket computed
+    as length(bin(n_docs // df)) - 1 — a corpus-wide stopword is in
+    every doc (bucket 0, score 0) and a hapax gets the max bucket, so
+    the ranking matches float tf-idf's shape while every number is a
+    BIGINT both engines agree on.  Ties: (score desc, tok asc),
+    row_number — fully deterministic.
+
+    Scale shape: tf is one (doc, tok) partial-agg; df one (tok)
+    partial-agg over tf (already deduped per doc); n_docs rides in as
+    a broadcast 1-row cross join (no driver collect); the final top-k
+    is a per-doc window over at most |doc vocab| rows."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df_cnt"))
+    nd = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id", "tok", "tf",
+            (F.col("tf") * (
+                F.length(F.bin(F.floor(F.col("n_docs") / F.col("df_cnt")).cast("long"))) - 1
+            )).cast("long").alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("tok"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("doc_id", F.col("tok").alias("term"), "tf", "score",
+                F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+SQL_TFIDF_KEYWORDS = """
+WITH toks AS (
+  SELECT doc_id, t.tok
+  FROM documents, unnest(regexp_split_to_array(lower(text), '\\s+')) AS t(tok)
+  WHERE t.tok != ''
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok
+), dfreq AS (
+  SELECT tok, count(*) AS df_cnt FROM tf GROUP BY tok
+), nd AS (
+  SELECT count(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.tok, tf.tf,
+         CAST(tf.tf * (length(bin(CAST(floor(nd.n_docs / df_cnt) AS BIGINT))) - 1)
+              AS BIGINT) AS score
+  FROM tf JOIN dfreq USING (tok) CROSS JOIN nd
+)
+SELECT doc_id, tok AS term, CAST(tf AS BIGINT) AS tf, score,
+       CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, tok) AS rnk
+  FROM scored
+) WHERE rnk <= 3
+"""
+
+
 SQL_INCREMENTAL_NEARDUP = f"""
 WITH RECURSIVE {_SQL_PAIRS_CTES_INC},
 edges AS (
@@ -2410,6 +2479,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_neardup": q_incremental_neardup,
     "unigram_commonness": q_unigram_commonness,
     "span_dup_stats": q_span_dup_stats,
+    "tfidf_keywords": q_tfidf_keywords,
     "length_quantiles": q_length_quantiles,
     "corpus_keep_list": q_corpus_keep_list,
     "embedding_neardup_verified": q_embedding_neardup_verified,
@@ -2463,6 +2533,7 @@ ORACLES: dict[str, str] = {
     "incremental_neardup": SQL_INCREMENTAL_NEARDUP,
     "unigram_commonness": SQL_UNIGRAM_COMMONNESS,
     "span_dup_stats": SQL_SPAN_DUP_STATS,
+    "tfidf_keywords": SQL_TFIDF_KEYWORDS,
     "length_quantiles": SQL_LENGTH_QUANTILES,
     "corpus_keep_list": SQL_CORPUS_KEEP_LIST,
     "embedding_neardup_verified": SQL_EMBEDDING_VERIFIED,
