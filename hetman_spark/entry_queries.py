@@ -1237,6 +1237,73 @@ GROUP BY t.doc_id
 """
 
 
+_TB_BUDGET = 2_000
+
+
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus assembly under a TOKEN budget: per lang, admit docs in a
+    deterministic pseudo-random order (md5(doc_id) — reproducible on
+    any engine/cluster, uncorrelated with content) until the stratum's
+    running token total passes the budget.  This is the data-mixing
+    primitive a training-corpus build runs ("fill N tokens per
+    language/source"), expressed as one window cumsum — the admit rule
+    is cum_tokens_BEFORE_this_doc < budget, so every stratum
+    overshoots by at most one doc and never undershoots while docs
+    remain.
+
+    Integer-exact: token counts are BIGINT word counts, the order key
+    is a hex md5 (string compare identical everywhere).  Scale shape:
+    one window (sort within stratum) — at 100 TB the per-stratum sort
+    is the standard price of budgeted sampling; the cheaper preview is
+    deterministic_sample on a rate estimated from source_mix."""
+    d = _t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    toks = F.size(
+        F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != "")
+    ).cast("long")
+    key = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(key, "doc_id")
+    ranked = d.select(
+        "doc_id", "lang", toks.alias("n_tokens"), key.alias("ord_key")
+    ).withColumn(
+        "cum_before",
+        F.coalesce(
+            F.sum("n_tokens").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    return (
+        ranked.where(F.col("cum_before") < F.lit(_TB_BUDGET))
+        .select(
+            "doc_id", "lang", "n_tokens",
+            (F.col("cum_before") + F.col("n_tokens")).alias("cum_tokens"),
+        )
+    )
+
+
+SQL_TOKEN_BUDGET_SAMPLE = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              x -> x != '')) AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS ord_key
+  FROM documents
+), r AS (
+  SELECT doc_id, lang, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY ord_key, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM t
+)
+SELECT doc_id, lang, n_tokens,
+       CAST(cum_before + n_tokens AS BIGINT) AS cum_tokens
+FROM r WHERE cum_before < {_TB_BUDGET}
+"""
+
+
 def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 characteristic terms per doc by an integer-exact tf-idf:
     score = tf * floor(log2(n_docs / df)) with the idf bucket computed
@@ -2485,6 +2552,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_commonness": q_unigram_commonness,
     "span_dup_stats": q_span_dup_stats,
     "tfidf_keywords": q_tfidf_keywords,
+    "token_budget_sample": q_token_budget_sample,
     "length_quantiles": q_length_quantiles,
     "corpus_keep_list": q_corpus_keep_list,
     "embedding_neardup_verified": q_embedding_neardup_verified,
@@ -2539,6 +2607,7 @@ ORACLES: dict[str, str] = {
     "unigram_commonness": SQL_UNIGRAM_COMMONNESS,
     "span_dup_stats": SQL_SPAN_DUP_STATS,
     "tfidf_keywords": SQL_TFIDF_KEYWORDS,
+    "token_budget_sample": SQL_TOKEN_BUDGET_SAMPLE,
     "length_quantiles": SQL_LENGTH_QUANTILES,
     "corpus_keep_list": SQL_CORPUS_KEEP_LIST,
     "embedding_neardup_verified": SQL_EMBEDDING_VERIFIED,
