@@ -1118,26 +1118,44 @@ def q_span_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), n - 1),
         lambda i: F.md5(F.concat_ws(" ", F.slice(words, i + 1, k))),
     )).otherwise(F.array().cast("array<string>"))
+    # Plan shape, A/B-measured under the bench's noop-sink action
+    # (count() prunes differently and misleads here):
+    # - n_positions is pure arithmetic on the words array
+    #   (greatest(len-k+1, 0)) riding the base projection — the old
+    #   groupBy(doc_id).count() over the exploded table re-evaluated
+    #   every md5 a third time AND paid a corpus-token-row shuffle
+    #   (18 s -> 9 s at sf0.1).
+    # - the exploded gram table is aggregated ONCE to (g, doc_id,
+    #   count) rows; both the dup-gram HAVING filter and the per-doc
+    #   rejoin consume that aggregate, so the md5 transform is
+    #   evaluated a single time and the two g-keyed exchanges over it
+    #   are identical (ReusedExchange).  localCheckpoint was also
+    #   tried and REJECTED: materializing corpus-token-count rows of
+    #   32-char hashes costs ~2x the recompute (13-16 s vs 8-9 s).
+    # At 100 TB the same holds: one gram evaluation, one
+    # corpus-token shuffle keyed (g, doc_id), everything after it
+    # sized by distinct (gram, doc) pairs.
+    base = d.select(
+        "doc_id", F.greatest(n, F.lit(0)).cast("long").alias("n_positions")
+    )
     pos = d.select("doc_id", F.explode(grams).alias("g"))
+    gram_doc = pos.groupBy("g", "doc_id").agg(F.count(F.lit(1)).alias("c"))
     dup_grams = (
-        pos.groupBy("g")
-        .agg(F.count_distinct("doc_id").alias("nd"))
+        gram_doc.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("nd"))
         .where(F.col("nd") >= 2)
         .select("g")
     )
     per_doc = (
-        pos.join(dup_grams, "g", "left_semi")
+        gram_doc.join(dup_grams, "g", "left_semi")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_dup_positions"),
-            F.count_distinct("g").alias("n_dup_grams"),
+            F.sum("c").alias("n_dup_positions"),
+            F.count(F.lit(1)).alias("n_dup_grams"),
         )
     )
-    totals = pos.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_positions"))
     return (
-        d.select("doc_id")
-        .join(totals, "doc_id", "left")
-        .join(per_doc, "doc_id", "left")
+        base.join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_positions", F.lit(0)).cast("long").alias("n_positions"),

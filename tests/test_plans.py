@@ -46,6 +46,49 @@ def test_embedding_lsh_is_bucketed(spark, sf_dir):
     _assert_equi_join_only(embedding_neardup_candidates(emb))
 
 
+def test_ivf_trained_probe_is_bucketed_and_broadcast(spark, sf_dir):
+    """The trained-centroid IVF probe must stay a broadcast hash join
+    keyed on the cell — the corpus side never cross-joins the queries
+    (r4 VERDICT #1's scale condition)."""
+    from hetman_spark.functions.similarity import ivf_topk_trained
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = e.orderBy("vec_id").limit(3)
+    df = ivf_topk_trained(e, queries, k=5, n_cells=4, iters=1, nprobe=2, dim=64)
+    plan = _physical_plan(df)
+    for shape in FORBIDDEN:
+        assert shape not in plan
+    assert "BroadcastHashJoin" in plan  # query side broadcast on cell
+
+
+def test_new_text_entries_have_keyed_plans(spark, sf_dir):
+    """span_dup_stats / unigram_commonness / tfidf_keywords: the
+    vocab/gram joins must be keyed (hash/SMJ), never nested-loop —
+    these run over corpus-token-count row volumes at scale."""
+    from hetman_spark.entry_queries import (
+        q_span_dup_stats,
+        q_tfidf_keywords,
+        q_unigram_commonness,
+    )
+
+    for q in (q_span_dup_stats, q_unigram_commonness):
+        plan = _physical_plan(q(spark, sf_dir))
+        for shape in FORBIDDEN:
+            assert shape not in plan, f"{q.__name__}: {shape}"
+    # tfidf attaches the 1-ROW n_docs aggregate via crossJoin(broadcast)
+    # — Spark plans that as a BroadcastNestedLoopJoin, which is O(n)
+    # when one side is a single row (the standard scalar-attach shape),
+    # so only the truly quadratic CartesianProduct is banned here; the
+    # tf/df joins themselves must still be keyed.
+    plan = _physical_plan(q_tfidf_keywords(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # formatted explain prints every operator twice (tree + detail
+    # listing) — count in the tree section only
+    tree = plan.split("\n\n")[0]
+    assert tree.count("BroadcastNestedLoopJoin") <= 1  # only the scalar attach
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
 def test_simhash_near_pairs_is_bucketed(spark, sf_dir):
     from hetman_spark.entry_queries import q_simhash_near_pairs
     from hetman_spark.functions.dedup import simhash_near_pairs
