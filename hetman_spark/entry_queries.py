@@ -1198,6 +1198,125 @@ LEFT JOIN per_doc p ON p.doc_id = d.doc_id
 """
 
 
+def q_span_dedup_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup with REMOVAL — the output side of Lee et
+    al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"): every occurrence of a duplicated k-gram span EXCEPT the
+    corpus-first one (lowest (doc_id, position)) is cut out of the
+    text, and the cleaned text is emitted.  `span_dup_stats` is the
+    profile; this is the pass that actually rewrites the corpus.
+    Duplication here is total-occurrence (>= 2 anywhere, including
+    intra-doc repeats) — Lee's semantics — unlike the stats entry's
+    cross-doc definition.
+
+    A word position is removed iff it is covered by at least one
+    removed span occurrence; the first occurrence keeps its words, so
+    every duplicated span survives exactly once corpus-wide (modulo
+    overlap with other removed spans).
+
+    Scale shape: one posexplode (linear in corpus token positions),
+    one groupBy(gram) carrying (count, min packed (doc,pos) key) — a
+    partial-agg shuffle keyed on the hash — one keyed join back, one
+    per-doc collect_set of removed word indexes (bounded by the doc's
+    own length), and a per-row array filter to rebuild the text.  No
+    suffix array, no global sort, text never rides a shuffle (only
+    32-char gram hashes and integer positions do).  The packed key
+    doc_id*1e6+pos assumes docs < 1e6 tokens (asserted in the
+    docstring contract; a 100 TB corpus with longer docs widens the
+    multiplier, BIGINT has 9.2e18 of headroom)."""
+    d = _t(spark, sf_dir, "documents")
+    k = _SPAN_K
+    words = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != ""
+    )
+    n = F.size(words) - F.lit(k - 1)
+    grams = F.when(n > 0, F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(words, i + 1, k))),
+    )).otherwise(F.array().cast("array<string>"))
+    occ = (
+        d.select("doc_id", F.posexplode(grams).alias("p0", "g"))
+        .select(
+            "doc_id", "g",
+            (F.col("p0") + 1).cast("long").alias("pos"),
+        )
+    )
+    packed = F.col("doc_id") * F.lit(1_000_000) + F.col("pos")
+    dup = (
+        occ.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("nocc"), F.min(packed).alias("first_key"))
+        .where(F.col("nocc") >= 2)
+        .select("g", "first_key")
+    )
+    removed = (
+        occ.join(dup, "g")
+        .where(packed != F.col("first_key"))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("wi"),
+        )
+    )
+    covered = removed.groupBy("doc_id").agg(F.collect_set("wi").alias("cov"))
+    base = d.select("doc_id", words.alias("ws"))
+    cov = F.coalesce(F.col("cov"), F.array().cast("array<bigint>"))
+    kept = F.filter(
+        F.col("ws"),
+        lambda w, i: ~F.array_contains(cov, (i + F.lit(1)).cast("long")),
+    )
+    step = (
+        base.join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("ws").cast("long").alias("n_words"),
+            kept.alias("kept"),
+        )
+    )
+    return step.select(
+        "doc_id",
+        "n_words",
+        (F.col("n_words") - F.size("kept")).cast("long").alias("n_removed"),
+        F.array_join("kept", " ").alias("clean_text"),
+    )
+
+
+SQL_SPAN_DEDUP_TEXT = f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x != '') AS ws
+  FROM documents
+), occ AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         md5(array_to_string(ws[i:i+{_SPAN_K}-1], ' ')) AS g
+  FROM w, UNNEST(range(1, len(ws) - {_SPAN_K} + 2)) AS t(i)
+  WHERE len(ws) >= {_SPAN_K}
+), dup AS (
+  SELECT g, min(doc_id * 1000000 + pos) AS first_key
+  FROM occ GROUP BY g HAVING count(*) >= 2
+), cov AS (
+  SELECT DISTINCT o.doc_id, u.wi
+  FROM occ o
+  JOIN dup s ON s.g = o.g AND o.doc_id * 1000000 + o.pos <> s.first_key,
+       UNNEST(range(o.pos, o.pos + {_SPAN_K})) AS u(wi)
+), toks AS (
+  SELECT doc_id, unnest(ws) AS wd,
+         CAST(generate_subscripts(ws, 1) AS BIGINT) AS i
+  FROM w
+), kept AS (
+  SELECT t.doc_id, t.wd, t.i
+  FROM toks t
+  LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.wi = t.i
+  WHERE c.doc_id IS NULL
+)
+SELECT w.doc_id,
+       CAST(len(w.ws) AS BIGINT) AS n_words,
+       CAST(len(w.ws) - count(k.i) AS BIGINT) AS n_removed,
+       COALESCE(string_agg(k.wd, ' ' ORDER BY k.i), '') AS clean_text
+FROM w LEFT JOIN kept k ON k.doc_id = w.doc_id
+GROUP BY w.doc_id, len(w.ws)
+"""
+
+
 def q_unigram_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style unigram-LM quality signal, integer-exact: per doc,
     how COMMON its tokens are in the corpus.  Production pipelines
@@ -2569,6 +2688,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_neardup": q_incremental_neardup,
     "unigram_commonness": q_unigram_commonness,
     "span_dup_stats": q_span_dup_stats,
+    "span_dedup_text": q_span_dedup_text,
     "tfidf_keywords": q_tfidf_keywords,
     "token_budget_sample": q_token_budget_sample,
     "length_quantiles": q_length_quantiles,
@@ -2624,6 +2744,7 @@ ORACLES: dict[str, str] = {
     "incremental_neardup": SQL_INCREMENTAL_NEARDUP,
     "unigram_commonness": SQL_UNIGRAM_COMMONNESS,
     "span_dup_stats": SQL_SPAN_DUP_STATS,
+    "span_dedup_text": SQL_SPAN_DEDUP_TEXT,
     "tfidf_keywords": SQL_TFIDF_KEYWORDS,
     "token_budget_sample": SQL_TOKEN_BUDGET_SAMPLE,
     "length_quantiles": SQL_LENGTH_QUANTILES,

@@ -507,3 +507,31 @@ def test_connected_components_matches_union_find_reference(spark):
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {r["v"]: r["component"] for r in connected_components(df).collect()}
     assert got == expected
+
+
+def test_span_dedup_text_removes_all_but_first_occurrence(spark, tmp_path):
+    """Lee et al. removal semantics: a 5-gram duplicated anywhere in
+    the corpus (cross-doc or intra-doc) survives only at its lowest
+    (doc_id, pos) occurrence; covered words vanish from the cleaned
+    text and untouched docs pass through byte-identical."""
+    from hetman_spark.entry_queries import q_span_dedup_text
+
+    docs = [
+        (1, "a b c d e f", "en", "web", 11),
+        (2, "x a b c d e y", "en", "web", 13),          # cross-doc dup of doc 1's gram
+        (3, "p q r s t p q r s t", "en", "web", 19),    # intra-doc repeat
+        (4, "unique words only here never repeated", "en", "web", 38),
+    ]
+    path = str(tmp_path / "sf")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{path}/documents.parquet")
+
+    got = {r["doc_id"]: r for r in q_span_dedup_text(spark, path).collect()}
+    assert got[1]["clean_text"] == "a b c d e f" and got[1]["n_removed"] == 0
+    assert got[2]["clean_text"] == "x y" and got[2]["n_removed"] == 5
+    assert got[3]["clean_text"] == "p q r s t" and got[3]["n_removed"] == 5
+    assert got[4]["n_removed"] == 0
+    assert got[4]["clean_text"] == "unique words only here never repeated"
+    assert all(r["n_words"] == len(docs[i][1].split()) for i, r in
+               ((0, got[1]), (1, got[2]), (2, got[3]), (3, got[4])))

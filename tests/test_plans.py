@@ -66,12 +66,13 @@ def test_new_text_entries_have_keyed_plans(spark, sf_dir):
     vocab/gram joins must be keyed (hash/SMJ), never nested-loop —
     these run over corpus-token-count row volumes at scale."""
     from hetman_spark.entry_queries import (
+        q_span_dedup_text,
         q_span_dup_stats,
         q_tfidf_keywords,
         q_unigram_commonness,
     )
 
-    for q in (q_span_dup_stats, q_unigram_commonness):
+    for q in (q_span_dup_stats, q_span_dedup_text, q_unigram_commonness):
         plan = _physical_plan(q(spark, sf_dir))
         for shape in FORBIDDEN:
             assert shape not in plan, f"{q.__name__}: {shape}"
