@@ -1374,6 +1374,93 @@ GROUP BY t.doc_id
 """
 
 
+_DSIR_BUCKETS = 512
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data-selection importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"),
+    integer-exact: hash every token into one of 512 buckets, model the
+    TARGET distribution (here: lang='en' docs — the stand-in for "the
+    high-quality domain") and the RAW distribution as bucket counts,
+    and score each doc by the sum over its tokens of
+    log2bucket(1 + target_count) - log2bucket(1 + raw_count) — the
+    hashed-n-gram log-likelihood-ratio DSIR resamples on.  floor(log2)
+    is computed as length(bin(n)) - 1, so Spark and DuckDB agree
+    bit-for-bit where float ln() could differ in the last ulp.
+
+    Scale shape: one tokenizer explode (linear in corpus tokens), ONE
+    512-row groupBy(bucket) partial-agg — the two distributions ride
+    the same aggregate as conditional counts, one corpus pass, not
+    two — an explicitly-broadcast join back (the bucket table is
+    bytes), and one per-doc partial-agg rollup.  No sort, no global
+    state; at 100 TB the bucket table is still 512 rows."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    b = F.pmod(
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 7), 16, 10).cast("long"),
+        F.lit(_DSIR_BUCKETS),
+    )
+    tb = toks.select("doc_id", "lang", b.alias("b"))
+    log2b = lambda c: (F.length(F.bin(c)) - 1).cast("long")  # noqa: E731
+    counts = (
+        tb.groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("cnt_raw"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("cnt_t"),
+        )
+        .select(
+            "b",
+            (log2b(F.col("cnt_t") + 1) - log2b(F.col("cnt_raw") + 1)).alias("wt"),
+        )
+    )
+    scored = (
+        tb.join(F.broadcast(counts), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("wt").alias("dsir_score"),
+        )
+    )
+    return (
+        d.select("doc_id", "lang")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("dsir_score", F.lit(0)).cast("long").alias("dsir_score"),
+        )
+    )
+
+
+SQL_DSIR_WEIGHTS = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(t.tok), 1, 7)) AS BIGINT) % {_DSIR_BUCKETS} AS b
+  FROM documents, unnest(regexp_split_to_array(lower(text), '\\s+')) AS t(tok)
+  WHERE t.tok != ''
+), counts AS (
+  SELECT b,
+         (length(bin(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 1)) - 1)
+           - (length(bin(count(*) + 1)) - 1) AS wt
+  FROM toks GROUP BY b
+), scored AS (
+  SELECT t.doc_id, count(*) AS n_tokens, sum(c.wt) AS dsir_score
+  FROM toks t JOIN counts c ON c.b = t.b
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id, d.lang,
+       CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(s.dsir_score, 0) AS BIGINT) AS dsir_score
+FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+"""
+
+
 _TB_BUDGET = 2_000
 
 
@@ -2689,6 +2776,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_commonness": q_unigram_commonness,
     "span_dup_stats": q_span_dup_stats,
     "span_dedup_text": q_span_dedup_text,
+    "dsir_weights": q_dsir_weights,
     "tfidf_keywords": q_tfidf_keywords,
     "token_budget_sample": q_token_budget_sample,
     "length_quantiles": q_length_quantiles,
@@ -2745,6 +2833,7 @@ ORACLES: dict[str, str] = {
     "unigram_commonness": SQL_UNIGRAM_COMMONNESS,
     "span_dup_stats": SQL_SPAN_DUP_STATS,
     "span_dedup_text": SQL_SPAN_DEDUP_TEXT,
+    "dsir_weights": SQL_DSIR_WEIGHTS,
     "tfidf_keywords": SQL_TFIDF_KEYWORDS,
     "token_budget_sample": SQL_TOKEN_BUDGET_SAMPLE,
     "length_quantiles": SQL_LENGTH_QUANTILES,

@@ -535,3 +535,24 @@ def test_span_dedup_text_removes_all_but_first_occurrence(spark, tmp_path):
     assert got[4]["clean_text"] == "unique words only here never repeated"
     assert all(r["n_words"] == len(docs[i][1].split()) for i, r in
                ((0, got[1]), (1, got[2]), (2, got[3]), (3, got[4])))
+
+
+def test_dsir_weights_direction(spark, tmp_path):
+    """Tokens exclusive to the target (en) stratum weigh 0 or better;
+    tokens the target never uses weigh negative — so docs written in
+    the target's vocabulary outscore docs outside it (the DSIR
+    log-ratio direction)."""
+    from hetman_spark.entry_queries import q_dsir_weights
+
+    docs = [
+        (1, "alpha beta alpha beta", "en", "web", 21),
+        (2, "alpha beta beta alpha", "en", "web", 21),
+        (3, "gamma gamma gamma gamma", "fr", "web", 23),
+    ]
+    path = str(tmp_path / "sf")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{path}/documents.parquet")
+    got = {r["doc_id"]: r["dsir_score"] for r in q_dsir_weights(spark, path).collect()}
+    assert got[1] == 0 and got[2] == 0   # en-only vocab: target == raw
+    assert got[3] < 0                    # never-in-target vocab: penalized
