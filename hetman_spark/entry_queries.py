@@ -2680,6 +2680,124 @@ GROUP BY host
 """
 
 
+_HOST_CAP = 150
+
+
+def q_host_page_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host page cap — the crawl-politeness / anti-domination
+    sampling a corpus build applies before training-data assembly
+    (CCNet/RefinedWeb cap pages per registered domain so one mirror
+    farm can't dominate the corpus): keep at most N pages per host,
+    chosen in a deterministic pseudo-random order (md5(url)) so the
+    kept set is reproducible on any cluster and uncorrelated with
+    crawl order.
+
+    Scale shape: ONE window per host (sort within host partition) —
+    the per-host row counts are crawl-bounded (a host with millions of
+    pages is exactly what the cap is for, and the sort is local to the
+    host's partition).  A skew-proof variant for pathological hosts is
+    two-phase: filter md5(url) < adaptive-threshold (estimated from
+    host_stats counts) then window only the survivors — same output,
+    documented here as the 100 TB path."""
+    from pyspark.sql import Window
+
+    df = spark.read.parquet(_ensure_webtext_fixture(spark))
+    host = F.regexp_extract(F.col("url"), r"^https://([^/]+)/", 1)
+    sel = df.select(
+        "url", host.alias("host"), F.md5(F.col("url")).alias("ord_key")
+    )
+    w = Window.partitionBy("host").orderBy("ord_key", "url")
+    return (
+        sel.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _HOST_CAP)
+        .select("host", "url", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+def _sql_host_page_cap() -> str:
+    return f"""
+SELECT host, url, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT regexp_extract(url, '^https://([^/]+)/', 1) AS host, url,
+         ROW_NUMBER() OVER (
+           PARTITION BY regexp_extract(url, '^https://([^/]+)/', 1)
+           ORDER BY md5(url), url) AS rk
+  FROM read_parquet('{_WEBTEXT_ORACLE_PATH}/*/*.parquet')
+) WHERE rk <= {_HOST_CAP}
+"""
+
+
+def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup — collapse crawl variants of the same page
+    (tracking query params, host-case differences, trailing slashes)
+    to one canonical key and keep a deterministic representative.  The
+    messy variants are DERIVED here deterministically (every 5th page
+    id gains a '?utm_source=...' twin and an UPPERCASED-host
+    trailing-slash twin) so the entry is self-contained on the fixture
+    and the collapse is observable: 20k pages -> 24k crawl rows ->
+    20k canonical rows, n_variants = 3 exactly on the seeded fifth.
+
+    Canonicalization is `functions.text.canonical_url` (lowercase
+    scheme/host, strip default port, query, fragment, trailing
+    slashes) — pure codegen regexps.  Scale shape: one projection +
+    one groupBy(canonical) partial-agg; only (canonical, url) pairs
+    shuffle, never page bodies."""
+    from hetman_spark.functions.text import canonical_url
+
+    base = spark.read.parquet(_ensure_webtext_fixture(spark)).select("url")
+    pid = F.regexp_extract(F.col("url"), r"page-([0-9]+)$", 1).cast("long")
+    seeded = base.where(pid % 5 == 0)
+    v_utm = seeded.select(
+        F.concat(F.col("url"), F.lit("?utm_source=feed&ref=rss")).alias("url")
+    )
+    v_case = seeded.select(
+        F.concat(
+            F.lit("https://"),
+            F.upper(F.regexp_extract(F.col("url"), r"^https://([^/]+)", 1)),
+            F.regexp_extract(F.col("url"), r"^https://[^/]+(/.*)$", 1),
+            F.lit("/"),
+        ).alias("url")
+    )
+    crawl = base.unionByName(v_utm).unionByName(v_case)
+    return (
+        crawl.select(canonical_url(F.col("url")).alias("canonical_url"), "url")
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.min("url").alias("kept_url"),
+        )
+    )
+
+
+def _sql_url_canonical_dedup() -> str:
+    return f"""
+WITH base AS (
+  SELECT url FROM read_parquet('{_WEBTEXT_ORACLE_PATH}/*/*.parquet')
+), seeded AS (
+  SELECT url FROM base
+  WHERE CAST(regexp_extract(url, 'page-([0-9]+)$', 1) AS BIGINT) % 5 = 0
+), crawl AS (
+  SELECT url FROM base
+  UNION ALL
+  SELECT url || '?utm_source=feed&ref=rss' FROM seeded
+  UNION ALL
+  SELECT 'https://' || upper(regexp_extract(url, '^https://([^/]+)', 1))
+         || regexp_extract(url, '^https://[^/]+(/.*)$', 1) || '/' FROM seeded
+), canon AS (
+  SELECT lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+         || '://'
+         || regexp_replace(lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), ':(80|443)$', '')
+         || regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1), '/+$', '')
+           AS canonical_url,
+         url
+  FROM crawl
+)
+SELECT canonical_url,
+       CAST(count(*) AS BIGINT) AS n_variants,
+       min(url) AS kept_url
+FROM canon GROUP BY canonical_url
+"""
+
+
 def q_webtext_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The actual webtext pipeline (generate -> parse -> enrich ->
     route) on a fixed deterministic 20k-row table, returning per-sink
@@ -2795,6 +2913,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "webtext_route_counts": q_webtext_route_counts,
     "host_stats": q_host_stats,
+    "host_page_cap": q_host_page_cap,
+    "url_canonical_dedup": q_url_canonical_dedup,
     "embedding_lsh_candidates": q_embedding_lsh_candidates,
     "ivf_topk": q_ivf_topk,
     "ivf_topk_multiprobe": q_ivf_topk_multiprobe,
@@ -2852,6 +2972,8 @@ ORACLES: dict[str, str] = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "webtext_route_counts": _sql_webtext_route_counts(),
     "host_stats": _sql_host_stats(),
+    "host_page_cap": _sql_host_page_cap(),
+    "url_canonical_dedup": _sql_url_canonical_dedup(),
     "embedding_lsh_candidates": SQL_EMBEDDING_LSH,
     "ivf_topk": SQL_IVF_TOPK,
     "ivf_topk_multiprobe": SQL_IVF_TOPK_MULTIPROBE,

@@ -147,3 +147,25 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("lang_guess", lang_id(F.col(text_col))).withColumn(
         "fingerprint", fingerprint(F.col(text_col))
     )
+
+
+def canonical_url(u: Column) -> Column:
+    """Canonicalize a URL for crawl dedup (the normalization step a
+    frontier/dedup pass runs before keying on the URL — cf. the
+    reference's path-based file identity, internal/tailer/tailer.go:
+    the canonical key IS the identity): lowercase scheme and host,
+    strip a default :80/:443 port, drop query string and fragment,
+    strip trailing slashes from the path.  Pure codegen regexps —
+    no UDF, safe in any hot path."""
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)),
+        r":(80|443)$",
+        "",
+    )
+    path = F.regexp_replace(
+        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1),
+        r"/+$",
+        "",
+    )
+    return F.concat(scheme, F.lit("://"), host, path)

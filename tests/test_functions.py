@@ -556,3 +556,19 @@ def test_dsir_weights_direction(spark, tmp_path):
     got = {r["doc_id"]: r["dsir_score"] for r in q_dsir_weights(spark, path).collect()}
     assert got[1] == 0 and got[2] == 0   # en-only vocab: target == raw
     assert got[3] < 0                    # never-in-target vocab: penalized
+
+
+def test_canonical_url_goldens(spark):
+    from hetman_spark.functions.text import canonical_url
+
+    cases = [
+        ("HTTPS://Host.Example.COM:443/a/b/?q=1#frag", "https://host.example.com/a/b"),
+        ("http://EXAMPLE.com:80/", "http://example.com"),
+        ("https://example.com/a//", "https://example.com/a"),
+        ("https://example.com:8080/a", "https://example.com:8080/a"),
+        ("https://example.com/wiki/page-3", "https://example.com/wiki/page-3"),
+        ("https://example.com/a?utm_source=feed&ref=rss", "https://example.com/a"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
+    got = [r["c"] for r in df.select(canonical_url(F.col("u")).alias("c")).collect()]
+    assert got == [want for _, want in cases]
