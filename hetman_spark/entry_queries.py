@@ -2581,6 +2581,103 @@ SQL_IVF_TOPK_TRAINED = _sql_ivf_trained(
 _MEDIA_ORACLE_PATH = "/tmp/hetman_spark_oracle_media"
 
 
+_PQ_M, _PQ_KS, _PQ_ITERS, _PQ_NQ, _PQ_TOPK = 8, 8, 2, 3, 5
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (similarity.pq_topk — Jegou et
+    al. 2011): per-subspace k-means codebooks trained integer-exact,
+    corpus encoded to 8 codebook indexes/vector, queries scored by
+    8 distance-table lookups instead of a 64-dim dot.  The memory-
+    compression half of a 100 TB IVFADC index (compose with
+    ivf_topk_trained's coarse cells for the pruning half)."""
+    from hetman_spark.functions.similarity import pq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.orderBy("vec_id").limit(_PQ_NQ)
+    return pq_topk(
+        e, queries, k=_PQ_TOPK, m_sub=_PQ_M, ks=_PQ_KS,
+        iters=_PQ_ITERS, dim=_KM_DIM,
+    )
+
+
+def _sql_pq_topk(m_sub: int, ks: int, iters: int, dim: int,
+                 nq: int, topk: int) -> str:
+    """DuckDB twin of pq_topk: per-subspace unrolled k-means training
+    chains (the _sql_kmeans_parts recipe parameterized by subspace),
+    final argmin encoding, and ADC scoring — subspace m's contribution
+    to a (query, candidate) pair is the distance from the query's m-th
+    subvector to the CENTROID the candidate's code names, which is
+    exactly the distance-table lookup."""
+    ds = dim // m_sub
+    dist = _sql_kmeans_dist(ds)
+    parts = [
+        f"q AS (SELECT vec_id, {_sql_quantized('embedding')} AS qv FROM embeddings)",
+    ]
+    for m in range(m_sub):
+        lo, hi = m * ds + 1, (m + 1) * ds
+        parts.append(
+            f"qs{m} AS (SELECT vec_id, qv[{lo}:{hi}] AS qv FROM q)"
+        )
+        parts.append(f"""c{m}_0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS ci, qv AS cent
+  FROM (SELECT vec_id, qv FROM qs{m} ORDER BY vec_id LIMIT {ks}))""")
+        for i in range(iters):
+            parts.append(f"""a{m}_{i} AS (
+  SELECT vec_id, qv, ci FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, ci) AS rn
+    FROM (SELECT q.vec_id, q.qv, c.ci, {dist} AS d
+          FROM qs{m} q CROSS JOIN c{m}_{i} c))
+  WHERE rn = 1)""")
+            parts.append(f"""s{m}_{i} AS (
+  SELECT ci, t.j AS dimx, sum(qv[t.j + 1]) AS s, count(*) AS n
+  FROM a{m}_{i} CROSS JOIN (SELECT CAST(unnest(range({ds})) AS BIGINT) AS j) t
+  GROUP BY ci, t.j)""")
+            parts.append(f"""c{m}_{i + 1} AS (
+  SELECT c.ci,
+         list(COALESCE(CAST(floor(CAST(s.s AS DOUBLE) / s.n) AS BIGINT),
+                       c.cent[t.j + 1]) ORDER BY t.j) AS cent
+  FROM c{m}_{i} c
+  CROSS JOIN (SELECT CAST(unnest(range({ds})) AS BIGINT) AS j) t
+  LEFT JOIN s{m}_{i} s ON s.ci = c.ci AND s.dimx = t.j
+  GROUP BY c.ci)""")
+        parts.append(f"""code{m} AS (
+  SELECT vec_id, ci FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, ci) AS rn
+    FROM (SELECT q.vec_id, c.ci, {dist} AS d
+          FROM qs{m} q CROSS JOIN c{m}_{iters} c))
+  WHERE rn = 1)""")
+    parts.append(
+        f"qsel AS (SELECT vec_id FROM q ORDER BY vec_id LIMIT {nq})"
+    )
+    dms = []
+    for m in range(m_sub):
+        parts.append(f"""dm{m} AS (
+  SELECT qu.vec_id AS query_id, co.vec_id AS neighbor_id, {_sql_kmeans_dist(ds, 'qu', 'c')} AS d
+  FROM code{m} co
+  JOIN c{m}_{iters} c ON c.ci = co.ci
+  CROSS JOIN (SELECT s.vec_id, s.qv FROM qs{m} s JOIN qsel ON qsel.vec_id = s.vec_id) qu)""")
+        dms.append(f"SELECT * FROM dm{m}")
+    parts.append(f"""adc AS (
+  SELECT query_id, neighbor_id, CAST(sum(d) AS BIGINT) AS adc_dist
+  FROM ({' UNION ALL '.join(dms)})
+  WHERE query_id != neighbor_id
+  GROUP BY query_id, neighbor_id)""")
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT query_id, neighbor_id, adc_dist, rank FROM (
+  SELECT query_id, neighbor_id, adc_dist,
+         CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist, neighbor_id) AS BIGINT) AS rank
+  FROM adc)
+WHERE rank <= {topk}
+"""
+    )
+
+
+SQL_PQ_TOPK = _sql_pq_topk(_PQ_M, _PQ_KS, _PQ_ITERS, _KM_DIM, _PQ_NQ, _PQ_TOPK)
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-feature extraction over the synthetic media table,
     materialized to parquet at a fixed path (same trick as
@@ -2920,6 +3017,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_topk_multiprobe": q_ivf_topk_multiprobe,
     "kmeans_clusters": q_kmeans_clusters,
     "ivf_topk_trained": q_ivf_topk_trained,
+    "pq_topk": q_pq_topk,
     "multimodal_features": q_multimodal_features,
 }
 
@@ -2979,5 +3077,6 @@ ORACLES: dict[str, str] = {
     "ivf_topk_multiprobe": SQL_IVF_TOPK_MULTIPROBE,
     "kmeans_clusters": SQL_KMEANS_CLUSTERS,
     "ivf_topk_trained": SQL_IVF_TOPK_TRAINED,
+    "pq_topk": SQL_PQ_TOPK,
     "multimodal_features": SQL_MULTIMODAL,
 }

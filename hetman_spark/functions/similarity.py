@@ -604,3 +604,201 @@ def cosine_topk_pandas(
 
     scored = corpus.select(F.col(id_col).alias("neighbor_id"), cos_udf(F.col(vec_col)).alias("sim"))
     return scored.orderBy(F.col("sim").desc(), F.col("neighbor_id")).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the 100 TB ANN memory-compression path
+# ---------------------------------------------------------------------------
+
+
+def packed_centroid_dist_array(cents: list[list[int]], v: Column) -> Column:
+    """array<struct<d,c>> of squared quantized L2 distances from `v`
+    to each centroid — like centroid_dist_array, but the WHOLE
+    codebook travels as ONE from_json folded constant and the
+    per-centroid terms come from a single transform-with-index lambda
+    (one aggregate node total, not k) — both r3 lessons (task-binary
+    size, codegen-bomb) applied at once."""
+    import json as _json
+
+    packed = F.from_json(F.lit(_json.dumps(cents)), "array<array<bigint>>")
+    return F.transform(
+        packed,
+        lambda c, i: F.struct(
+            F.aggregate(
+                F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            i.cast("long").alias("c"),
+        ),
+    )
+
+
+def pq_train_codebooks(
+    corpus: DataFrame,
+    m_sub: int = 8,
+    ks: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> tuple[DataFrame, list[list[list[int]]]]:
+    """Train per-subspace PQ codebooks (Jegou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): split each quantized
+    vector into m_sub contiguous subvectors and run Lloyd's k-means
+    independently in every subspace — deterministic (init = subvectors
+    of the ks lowest vec_ids, argmin ties to lowest index,
+    floor(sum/count) updates), integer-exact end-to-end.
+
+    Returns (checkpointed (vec_id, qv) projection, cents) with
+    cents[m][ci] a ds-int centroid, ds = dim // m_sub.
+
+    Scale shape: ALL subspaces train in the same pass — assignment is
+    map-side against packed codebook constants (one transform+aggregate
+    node per subspace, never k separate aggregates), and every
+    iteration pays ONE partial-aggregated shuffle keyed
+    (subspace, centroid, dim) — m_sub*ks*ds groups (512 rows here).
+    Codebooks live driver-side: m_sub*ks*ds ints — the thing you
+    broadcast, never shuffle."""
+    ds = dim // m_sub
+    q = corpus.select(
+        F.col(id_col).alias("vec_id"), quantize_vec(F.col(vec_col)).alias("qv")
+    ).localCheckpoint(eager=True)
+    init_rows = q.orderBy("vec_id").limit(ks).collect()
+    cents = [
+        [list(r["qv"])[m * ds:(m + 1) * ds] for r in init_rows]
+        for m in range(m_sub)
+    ]
+
+    for _ in range(iters):
+        sel = q.select(
+            "qv",
+            *[
+                F.array_min(
+                    packed_centroid_dist_array(
+                        cents[m], F.slice(F.col("qv"), m * ds + 1, ds)
+                    )
+                )["c"].alias(f"_c{m}")
+                for m in range(m_sub)
+            ],
+        )
+        subs = F.array(
+            *[
+                F.struct(
+                    F.lit(m).cast("long").alias("m"),
+                    F.col(f"_c{m}").alias("c"),
+                    F.slice(F.col("qv"), m * ds + 1, ds).alias("sv"),
+                )
+                for m in range(m_sub)
+            ]
+        )
+        sums = (
+            sel.select(F.explode(subs).alias("s"))
+            .select("s.m", "s.c", F.posexplode("s.sv").alias("dim", "val"))
+            .groupBy("m", "c", "dim")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+        ).collect()  # m_sub*ks*ds rows — aggregate-level, never per-vector
+        by: dict[tuple[int, int], dict[int, int]] = {}
+        for r in sums:
+            by.setdefault((r["m"], r["c"]), {})[r["dim"]] = r["s"] // r["n"]
+        cents = [
+            [
+                [by[(m, ci)][d] for d in range(ds)]
+                if (m, ci) in by else cents[m][ci]
+                for ci in range(ks)
+            ]
+            for m in range(m_sub)
+        ]
+    return q, cents
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m_sub: int = 8,
+    ks: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """PQ asymmetric-distance top-k (Jegou et al. 2011's ADC): encode
+    every corpus vector as m_sub codebook indexes (map-side argmin per
+    subspace), precompute each query's distance TABLE to every
+    codebook centroid (m_sub x ks ints, on the tiny query side), and
+    score a candidate as the sum of m_sub table lookups — 8 lookups
+    replacing a 64-dim dot product, and the corpus compressed to
+    m_sub bytes/vector.
+
+    This entry scores the whole corpus (the ADC inner loop); at
+    100 TB the same loop runs per-IVF-cell after ivf_topk_trained's
+    coarse pruning (IVFADC) — the corpus side here is already
+    encode-once/scan-many and NEVER shuffled (the query side with its
+    dist tables is broadcast).  Integer-exact: quantized vectors,
+    integer squared-L2 tables, BIGINT sums; ties break to the lowest
+    neighbor id."""
+    import json as _json
+
+    q, cents = pq_train_codebooks(
+        corpus, m_sub=m_sub, ks=ks, iters=iters,
+        vec_col=vec_col, id_col=id_col, dim=dim,
+    )
+    ds = dim // m_sub
+    code = F.array(
+        *[
+            F.array_min(
+                packed_centroid_dist_array(
+                    cents[m], F.slice(F.col("qv"), m * ds + 1, ds)
+                )
+            )["c"]
+            for m in range(m_sub)
+        ]
+    )
+    encoded = q.select("vec_id", code.alias("code"))
+
+    def _dist_table(m: int) -> Column:
+        # closure factory, NOT a default-arg lambda: a 2-param lambda
+        # would be read by PySpark as (element, index) and clobber m
+        sub = F.slice(F.col("qv"), m * ds + 1, ds)
+        return F.transform(
+            F.from_json(F.lit(_json.dumps(cents[m])), "array<array<bigint>>"),
+            lambda c: F.aggregate(
+                F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+
+    dt = F.array(*[_dist_table(m) for m in range(m_sub)])
+    qside = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            quantize_vec(F.col(vec_col)).alias("qv"),
+        )
+        .select("query_id", dt.alias("dt"))
+    )
+
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m_sub - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, mi: acc
+        + F.element_at(
+            F.element_at(F.col("dt"), mi + 1),
+            (F.element_at(F.col("code"), mi + 1) + 1).cast("int"),
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        encoded.crossJoin(F.broadcast(qside))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            adc.alias("adc_dist"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )

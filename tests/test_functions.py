@@ -572,3 +572,40 @@ def test_canonical_url_goldens(spark):
     df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
     got = [r["c"] for r in df.select(canonical_url(F.col("u")).alias("c")).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_pq_topk_recall_measured_against_brute_force(spark, sf_dir):
+    """PQ-ADC recall@5 vs brute-force integer-L2 ground truth,
+    MEASURED and pinned (deterministic end-to-end): 0.22 at m=8/ks=8
+    on the sf0.001 fixture — 22x the 5/499 chance baseline.  The
+    fixture's embeddings are uniform-random, the worst case for PQ
+    (nothing for per-subspace k-means to learn; ks=16 measured at
+    0.18, i.e. NOT monotone in ks here) — on clustered real
+    embeddings the same code is the standard IVFADC inner loop, and
+    recall is recovered at scale by scoring a larger candidate pool
+    per coarse cell."""
+    import math
+
+    from hetman_spark.functions.similarity import pq_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    nq, k = 10, 5
+    q = e.orderBy("vec_id").limit(nq)
+    got = pq_topk(e, q, k=k).collect()
+    nb = {}
+    for r in got:
+        nb.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    def qz(v):
+        return [math.floor(x * 1000) for x in v]
+
+    corpus = [(r["vec_id"], qz(r["embedding"])) for r in e.collect()]
+    queries = sorted(corpus)[:nq]
+    hits = 0
+    for qid, qv in queries:
+        d = sorted(
+            (sum((a - b) ** 2 for a, b in zip(qv, cv)), vid)
+            for vid, cv in corpus if vid != qid
+        )
+        hits += len({vid for _, vid in d[:k]} & nb[qid])
+    assert hits / (nq * k) == 0.22
