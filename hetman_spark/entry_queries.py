@@ -1461,6 +1461,73 @@ FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
 """
 
 
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RESAMPLE half of DSIR composed with the token-budget
+    assembler in one plan: docs are admitted per lang stratum in
+    descending importance-per-token order (not random order — that is
+    `token_budget_sample`) until the stratum's token budget fills.
+    Importance-per-token is integer-exact: floor(score*1000/n_tokens)
+    computed as (a - posmod(a, n))/n so the floored quotient is
+    identical on both engines even for NEGATIVE scores (Spark's `div`
+    truncates toward zero while DuckDB's // floors — this construction
+    sidesteps both).
+
+    Scale shape: the weights pass is dsir_weights' (one tokenizer
+    explode, one 512-row bucket agg, broadcast join, per-doc rollup);
+    admission is one window per lang stratum.  At 100 TB the exact
+    per-stratum sort is replaced by a two-phase quantile-threshold
+    (approx ppt threshold for the budget, then a map-side filter) —
+    this entry IS the exact semantics that threshold approximates."""
+    from pyspark.sql import Window
+
+    scored = q_dsir_weights(spark, sf_dir).where(F.col("n_tokens") > 0)
+    a = F.col("dsir_score") * 1000
+    n = F.col("n_tokens")
+    posmod = ((a % n) + n) % n
+    ppt = ((a - posmod) / n).cast("long")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("ppt").desc(), "doc_id"
+    )
+    ranked = scored.select(
+        "doc_id", "lang", "n_tokens", ppt.alias("ppt")
+    ).withColumn(
+        "cum_before",
+        F.coalesce(
+            F.sum("n_tokens").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    return ranked.where(F.col("cum_before") < F.lit(_TB_BUDGET)).select(
+        "doc_id", "lang", "n_tokens", "ppt",
+        (F.col("cum_before") + F.col("n_tokens")).alias("cum_tokens"),
+    )
+
+
+def _sql_dsir_resample() -> str:
+    return f"""
+WITH weights AS ({SQL_DSIR_WEIGHTS}),
+scored AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST((dsir_score * 1000
+               - (((dsir_score * 1000 % n_tokens) + n_tokens) % n_tokens))
+              / n_tokens AS BIGINT) AS ppt
+  FROM weights WHERE n_tokens > 0
+), r AS (
+  SELECT doc_id, lang, n_tokens, ppt,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY lang
+                    ORDER BY ppt DESC, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM scored
+)
+SELECT doc_id, lang, n_tokens, ppt,
+       CAST(cum_before + n_tokens AS BIGINT) AS cum_tokens
+FROM r WHERE cum_before < {{budget}}
+""".replace("{budget}", str(_TB_BUDGET))
+
+
 _TB_BUDGET = 2_000
 
 
@@ -2992,6 +3059,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "span_dup_stats": q_span_dup_stats,
     "span_dedup_text": q_span_dedup_text,
     "dsir_weights": q_dsir_weights,
+    "dsir_resample": q_dsir_resample,
     "tfidf_keywords": q_tfidf_keywords,
     "token_budget_sample": q_token_budget_sample,
     "length_quantiles": q_length_quantiles,
@@ -3052,6 +3120,7 @@ ORACLES: dict[str, str] = {
     "span_dup_stats": SQL_SPAN_DUP_STATS,
     "span_dedup_text": SQL_SPAN_DEDUP_TEXT,
     "dsir_weights": SQL_DSIR_WEIGHTS,
+    "dsir_resample": _sql_dsir_resample(),
     "tfidf_keywords": SQL_TFIDF_KEYWORDS,
     "token_budget_sample": SQL_TOKEN_BUDGET_SAMPLE,
     "length_quantiles": SQL_LENGTH_QUANTILES,
