@@ -1109,7 +1109,7 @@ def q_span_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed on the hash — no sort, no suffix array, no cross join; this
     is exactly how production replaces Lee's suffix automaton at
     cluster scale."""
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")
     k = _SPAN_K
     words = F.split(F.lower(F.col("text")), r"\s+")
     words = F.filter(words, lambda w: w != "")
@@ -1135,6 +1135,9 @@ def q_span_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # At 100 TB the same holds: one gram evaluation, one
     # corpus-token shuffle keyed (g, doc_id), everything after it
     # sized by distinct (gram, doc) pairs.
+    # - the _tp scan matters most HERE of all entries: the md5-per-
+    #   position explode off a one-file scan serialized on a single
+    #   core (12.9 s warm); repartitioned it is 3.7 s.
     base = d.select(
         "doc_id", F.greatest(n, F.lit(0)).cast("long").alias("n_positions")
     )
@@ -1224,7 +1227,7 @@ def q_span_dedup_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id*1e6+pos assumes docs < 1e6 tokens (asserted in the
     docstring contract; a 100 TB corpus with longer docs widens the
     multiplier, BIGINT has 9.2e18 of headroom)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")
     k = _SPAN_K
     words = F.filter(
         F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != ""
@@ -1395,7 +1398,7 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     two — an explicitly-broadcast join back (the bucket table is
     bytes), and one per-doc partial-agg rollup.  No sort, no global
     state; at 100 TB the bucket table is still 512 rows."""
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
         "lang",
@@ -2660,7 +2663,7 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf_topk_trained's coarse cells for the pruning half)."""
     from hetman_spark.functions.similarity import pq_topk
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _tp(spark, sf_dir, "embeddings")
     queries = e.orderBy("vec_id").limit(_PQ_NQ)
     return pq_topk(
         e, queries, k=_PQ_TOPK, m_sub=_PQ_M, ks=_PQ_KS,
