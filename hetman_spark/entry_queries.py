@@ -2641,6 +2641,83 @@ SQL_IVF_TOPK_TRAINED = _sql_ivf_trained(
 
 
 # ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023): semantic dedup = k-means clusters ->
+# within-cluster cosine>=tau pairs -> connected components -> keep the
+# member farthest from its centroid.  The paper's point is that the
+# clusters BOUND the quadratic; everything else reuses oracled pieces.
+# ---------------------------------------------------------------------------
+
+_SD_TAU_NUM, _SD_TAU_DEN = 4, 25  # tau = 0.4
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """similarity.semdedup over the embeddings table with the same
+    k-means constants as kmeans_clusters, so the DuckDB twin reuses
+    the unrolled-CTE training math and re-derives pairs, transitive
+    closure (RECURSIVE CTE), and the max-distance keeper rule
+    independently."""
+    from hetman_spark.functions.similarity import semdedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    return semdedup(
+        e, k=_KM_K, iters=_KM_ITERS, tau_num=_SD_TAU_NUM,
+        tau_den=_SD_TAU_DEN, dim=_KM_DIM,
+    )
+
+
+def _sql_semdedup(k: int, iters: int, dim: int, tau_num: int,
+                  tau_den: int) -> str:
+    """DuckDB twin of similarity.semdedup: shared k-means CTEs, argmin
+    assignment WITH distance, within-cluster integer-cosine pairs,
+    recursive transitive closure, keeper = max dist_q (ties min id)."""
+    dist = _sql_kmeans_dist(dim)
+    parts = _sql_kmeans_parts(k, iters, dim)
+    parts.append(f"""asn AS (
+  SELECT vec_id, qv, ci AS cell, d,
+         CAST(list_sum(list_transform(qv, v -> v * v)) AS BIGINT) AS n2
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, ci) AS rn
+    FROM (SELECT q.vec_id, q.qv, c.ci, {dist} AS d FROM q CROSS JOIN c{iters} c))
+  WHERE rn = 1)""")
+    parts.append(f"""sd_pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(list_sum(list_transform(range(1, {dim} + 1),
+                j -> a.qv[j] * b.qv[j])) AS BIGINT) AS dot_q,
+           a.n2 AS n2_a, b.n2 AS n2_b
+    FROM asn a JOIN asn b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+  WHERE dot_q > 0 AND dot_q * dot_q * {tau_den} >= {tau_num} * n2_a * n2_b)""")
+    parts.append("""sd_edges AS (
+  SELECT id_a AS v, id_b AS u FROM sd_pairs
+  UNION
+  SELECT id_b AS v, id_a AS u FROM sd_pairs)""")
+    parts.append("""sd_reach(v, r) AS (
+  SELECT v, v FROM (SELECT DISTINCT v FROM sd_edges)
+  UNION
+  SELECT e.v, sd_reach.r FROM sd_reach JOIN sd_edges e ON e.u = sd_reach.v)""")
+    parts.append("""sd_comp AS (
+  SELECT v, min(r) AS component FROM sd_reach GROUP BY v)""")
+    return (
+        "WITH RECURSIVE " + ",\n".join(parts) + """
+SELECT vec_id, cluster_id, component, CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END
+       AS INTEGER) AS keep
+FROM (
+  SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cluster_id,
+         CAST(COALESCE(c.component, a.vec_id) AS BIGINT) AS component,
+         row_number() OVER (
+           PARTITION BY COALESCE(c.component, a.vec_id)
+           ORDER BY a.d DESC, a.vec_id) AS rn
+  FROM asn a LEFT JOIN sd_comp c ON c.v = a.vec_id)
+"""
+    )
+
+
+SQL_SEMDEDUP = _sql_semdedup(
+    _KM_K, _KM_ITERS, _KM_DIM, _SD_TAU_NUM, _SD_TAU_DEN
+)
+
+
+# ---------------------------------------------------------------------------
 # Multimodal feature extraction — the stub decoders are deterministic
 # integer arithmetic over md5-derived payload bytes, so DuckDB can
 # recompute width/height/channels from the SAME parquet bytes: the
@@ -3089,6 +3166,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_clusters": q_kmeans_clusters,
     "ivf_topk_trained": q_ivf_topk_trained,
     "pq_topk": q_pq_topk,
+    "semdedup": q_semdedup,
     "multimodal_features": q_multimodal_features,
 }
 
@@ -3150,5 +3228,6 @@ ORACLES: dict[str, str] = {
     "kmeans_clusters": SQL_KMEANS_CLUSTERS,
     "ivf_topk_trained": SQL_IVF_TOPK_TRAINED,
     "pq_topk": SQL_PQ_TOPK,
+    "semdedup": SQL_SEMDEDUP,
     "multimodal_features": SQL_MULTIMODAL,
 }

@@ -802,3 +802,124 @@ def pq_topk(
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
     )
+
+
+def semdedup(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    tau_num: int = 4,
+    tau_den: int = 25,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+    centroids: list[list[int]] | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings with k-means, finding
+    within-cluster pairs whose cosine similarity crosses a threshold,
+    and keeping ONE document per duplicate group — the paper keeps the
+    member with the LOWEST similarity to its cluster centroid (here:
+    max quantized L2 distance, ties to the lowest id).
+
+    No reference analog (the reference ships logs, not corpora); this
+    is the embedding-space near-dup pass the LLM-pipeline brief calls
+    for, composed from pieces that are each already oracled: k-means
+    training (train_kmeans_centroids), integer-cosine verification
+    (the embedding_neardup_verified inequality), and transitive
+    clustering (dedup.connected_components).
+
+    cos(a, b) >= tau is evaluated as the pure-BIGINT inequality
+      dot > 0  AND  dot^2 * tau_den >= tau_num * |a|^2 * |b|^2
+    with tau^2 = tau_num / tau_den — exact on any engine (scale=1000
+    quantization, dim<=64: dot^2 * tau_den <= ~1e17 < 2^63).
+
+    Returns (vec_id, cluster_id, component, keep):
+      component = min reachable vec_id in the within-cluster dup graph
+      (own id for non-duplicated rows), keep = 1 for the kept member.
+
+    Scale shape — the quadratic is BOUNDED BY DESIGN (the paper's own
+    trick: k clusters cap pair counts at sum(c_i^2/2), and k grows
+    with the corpus — SemDeDup used 110k clusters at LAION scale):
+    - training: map-side assignment + ONE k*dim partial-agg shuffle
+      per iteration, centroids driver-side;
+    - assignment: map-side argmin vs packed from_json constants;
+    - pair generation: self equi-join ON THE CELL KEY (never a global
+      cross join) over (id, qv, cell) projections — text/embeddings
+      at full width never ride the pair shuffle twice;
+    - clustering: O(log n) keyed self-joins of (id, label) pairs;
+    - keeper: one window per component over (id, dist) tuples."""
+    from pyspark.sql import Window
+
+    q, cents = (
+        (corpus.select(
+            F.col(id_col).alias("vec_id"),
+            quantize_vec(F.col(vec_col)).alias("qv"),
+        ).localCheckpoint(eager=True), centroids)
+        if centroids is not None
+        else train_kmeans_centroids(corpus, k, iters, vec_col, id_col, dim)
+    )
+    assigned = q.select(
+        "vec_id",
+        "qv",
+        F.array_min(centroid_dist_array(cents, F.col("qv"))).alias("b"),
+    ).select(
+        "vec_id",
+        "qv",
+        F.col("b.c").alias("cluster_id"),
+        F.col("b.d").alias("dist_q"),
+        F.aggregate(
+            F.col("qv"), F.lit(0).cast("long"), lambda acc, x: acc + x * x
+        ).alias("norm2"),
+    ).localCheckpoint(eager=True)
+
+    a = assigned.select(
+        F.col("cluster_id").alias("cell"),
+        F.col("vec_id").alias("id_a"),
+        F.col("qv").alias("vq_a"),
+        F.col("norm2").alias("n2_a"),
+    )
+    b = assigned.select(
+        F.col("cluster_id").alias("cell"),
+        F.col("vec_id").alias("id_b"),
+        F.col("qv").alias("vq_b"),
+        F.col("norm2").alias("n2_b"),
+    )
+    dot = int_dot_sim(F.col("vq_a"), F.col("vq_b"))
+    pairs = (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", dot.alias("dot_q"), "n2_a", "n2_b")
+        .where(
+            (F.col("dot_q") > 0)
+            & (
+                F.col("dot_q") * F.col("dot_q") * F.lit(tau_den)
+                >= F.lit(tau_num) * F.col("n2_a") * F.col("n2_b")
+            )
+        )
+        .select("id_a", "id_b")
+    )
+
+    from hetman_spark.functions.dedup import connected_components
+
+    cc = connected_components(pairs)
+    labeled = assigned.select("vec_id", "cluster_id", "dist_q").join(
+        cc.withColumnRenamed("v", "vec_id"), "vec_id", "left"
+    ).select(
+        "vec_id",
+        "cluster_id",
+        "dist_q",
+        F.coalesce(F.col("component"), F.col("vec_id")).alias("component"),
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("dist_q").desc(), F.col("vec_id")
+    )
+    return labeled.select(
+        "vec_id",
+        "cluster_id",
+        "component",
+        F.when(F.row_number().over(w) == 1, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("keep"),
+    )

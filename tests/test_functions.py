@@ -609,3 +609,37 @@ def test_pq_topk_recall_measured_against_brute_force(spark, sf_dir):
         )
         hits += len({vid for _, vid in d[:k]} & nb[qid])
     assert hits / (nq * k) == 0.22
+
+
+def test_semdedup_components_and_farthest_keeper(spark):
+    """SemDeDup with PINNED centroids: two blobs of colinear (cos=1)
+    vectors plus one off-axis member — blob members collapse to one
+    component each, the keeper is the member FARTHEST from its
+    centroid (Abbas et al.'s keep-lowest-centroid-similarity rule),
+    and the off-axis vector (cos ~0.32 < tau=0.4) keeps itself."""
+    from hetman_spark.functions.similarity import semdedup
+
+    rows = [
+        (0, [1.0, 1.0, 1.0, 1.0]),
+        (1, [1.1, 1.1, 1.1, 1.1]),
+        (2, [0.95, 0.95, 0.95, 0.95]),
+        (10, [-1.0, -1.0, -1.0, -1.0]),
+        (11, [-1.2, -1.2, -1.2, -1.2]),
+        (12, [-0.9, -0.9, -0.9, -0.9]),
+        (13, [-3.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [[1000] * 4, [-1000] * 4]
+    out = {
+        r["vec_id"]: r
+        for r in semdedup(df, centroids=cents, dim=4).collect()
+    }
+    assert {v: r["cluster_id"] for v, r in out.items()} == {
+        0: 0, 1: 0, 2: 0, 10: 1, 11: 1, 12: 1, 13: 1,
+    }
+    assert {v: r["component"] for v, r in out.items()} == {
+        0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 12: 10, 13: 13,
+    }
+    # keepers: 1 (dist 40000 > 10000 > 0) and 11 (160000 > 40000 > 0),
+    # 13 is its own singleton
+    assert {v for v, r in out.items() if r["keep"] == 1} == {1, 11, 13}
