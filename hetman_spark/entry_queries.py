@@ -2718,6 +2718,90 @@ SQL_SEMDEDUP = _sql_semdedup(
 
 
 # ---------------------------------------------------------------------------
+# C4 line/page cleaning (Raffel et al. 2020 §2.2).  The documents
+# fixture is single-line, so the entry derives a deterministic
+# multi-line variant INSIDE the query (literal replace + CASE marker
+# injection — byte-identical on both engines, the url_canonical_dedup
+# derivation pattern); the operator itself is functions/text.py
+# c4_line_filter, rule-by-rule pytest-covered on a constructed fixture.
+# ---------------------------------------------------------------------------
+
+
+def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning over a derived multi-line corpus: ' data '/' value '
+    /' query ' become sentence breaks ('.\\n'/'!\\n'/'?\\n'), and a
+    deterministic doc_id subset gets a lorem-ipsum / javascript /
+    curly-brace marker line appended so every page rule fires on real
+    rows.  Output: per-doc line counts, the cleaned text, first-fail
+    verdict."""
+    from hetman_spark.functions.text import c4_line_filter
+
+    d = _t(spark, sf_dir, "documents")
+    lined = F.replace(F.col("text"), F.lit(" data "), F.lit(".\n"))
+    lined = F.replace(lined, F.lit(" value "), F.lit("!\n"))
+    lined = F.replace(lined, F.lit(" query "), F.lit("?\n"))
+    lined = (
+        F.when(
+            F.col("doc_id") % 17 == 0,
+            F.concat(lined, F.lit("\nlorem ipsum dolor sit.")),
+        )
+        .when(
+            F.col("doc_id") % 23 == 0,
+            F.concat(lined, F.lit("\nplease enable javascript to view this page.")),
+        )
+        .when(
+            F.col("doc_id") % 29 == 0,
+            F.concat(lined, F.lit("\nfunction f() { return 1; }")),
+        )
+        .otherwise(lined)
+    )
+    s = c4_line_filter(lined)
+    return d.select(
+        "doc_id",
+        s.getField("n_lines").alias("n_lines"),
+        s.getField("n_kept").alias("n_kept"),
+        s.getField("clean_text").alias("clean_text"),
+        s.getField("verdict").alias("verdict"),
+    )
+
+
+SQL_C4_LINE_FILTER = """
+WITH lined AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 17 = 0 THEN base || chr(10) || 'lorem ipsum dolor sit.'
+              WHEN doc_id % 23 = 0 THEN base || chr(10) || 'please enable javascript to view this page.'
+              WHEN doc_id % 29 = 0 THEN base || chr(10) || 'function f() { return 1; }'
+              ELSE base END AS t
+  FROM (SELECT doc_id,
+               replace(replace(replace(text,
+                 ' data ', '.' || chr(10)),
+                 ' value ', '!' || chr(10)),
+                 ' query ', '?' || chr(10)) AS base
+        FROM documents)
+), kept AS (
+  SELECT doc_id, t,
+         len(string_split(t, chr(10))) AS n_lines,
+         list_filter(string_split(t, chr(10)),
+           l -> regexp_matches(l, '[.!?"]$')
+                AND len(string_split_regex(trim(l), ' +')) >= 5
+                AND NOT contains(lower(l), 'javascript')) AS kl
+  FROM lined
+)
+SELECT doc_id,
+       CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(len(kl) AS BIGINT) AS n_kept,
+       CASE WHEN verdict = 'ok' THEN array_to_string(kl, chr(10)) END AS clean_text,
+       verdict
+FROM (
+  SELECT *, CASE WHEN contains(t, '{') THEN 'brace'
+                 WHEN contains(lower(t), 'lorem ipsum') THEN 'lorem'
+                 WHEN len(kl) < 3 THEN 'too_few_lines'
+                 ELSE 'ok' END AS verdict
+  FROM kept)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Multimodal feature extraction — the stub decoders are deterministic
 # integer arithmetic over md5-derived payload bytes, so DuckDB can
 # recompute width/height/channels from the SAME parquet bytes: the
@@ -3167,6 +3251,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_topk_trained": q_ivf_topk_trained,
     "pq_topk": q_pq_topk,
     "semdedup": q_semdedup,
+    "c4_line_filter": q_c4_line_filter,
     "multimodal_features": q_multimodal_features,
 }
 
@@ -3229,5 +3314,6 @@ ORACLES: dict[str, str] = {
     "ivf_topk_trained": SQL_IVF_TOPK_TRAINED,
     "pq_topk": SQL_PQ_TOPK,
     "semdedup": SQL_SEMDEDUP,
+    "c4_line_filter": SQL_C4_LINE_FILTER,
     "multimodal_features": SQL_MULTIMODAL,
 }

@@ -169,3 +169,53 @@ def canonical_url(u: Column) -> Column:
         "",
     )
     return F.concat(scheme, F.lit("://"), host, path)
+
+
+def c4_line_filter(
+    text: Column,
+    min_words: int = 5,
+    min_kept_lines: int = 3,
+) -> Column:
+    """C4's line/page cleaning pass (Raffel et al. 2020, §2.2) as ONE
+    struct expression — the rule set that built the C4 corpus:
+
+    line kept iff it ends in terminal punctuation ('.', '!', '?', '"'),
+    has >= min_words whitespace-separated words, and does not mention
+    javascript (case-insensitive); page kept iff the raw text contains
+    no '{' (code), no 'lorem ipsum' (placeholder), and >= min_kept_lines
+    lines survive.  first_fail verdict: 'brace' / 'lorem' /
+    'too_few_lines' / 'ok' (C4 drops the page; emitting the reason keeps
+    rows auditable, the P6 convention).
+
+    No reference analog (the reference ships logs); this is the
+    page-cleaning stage of the LLM-pipeline brief.  Pure per-row
+    Catalyst expressions (split + filter + array_join) — no UDF, no
+    shuffle; at 100 TB this runs inside the scan's codegen stage.
+
+    Returns struct<n_lines, n_kept, clean_text, verdict>: clean_text =
+    surviving lines re-joined, NULL when the page is dropped."""
+    lines = F.split(text, "\n")
+
+    def keep_line(line: Column) -> Column:
+        return (
+            line.rlike('[.!?"]$')
+            & (F.size(F.split(F.trim(line), " +")) >= min_words)
+            & ~F.lower(line).contains("javascript")
+        )
+
+    kept = F.filter(lines, keep_line)
+    n_kept = F.size(kept).cast("long")
+    verdict = (
+        F.when(text.contains("{"), F.lit("brace"))
+        .when(F.lower(text).contains("lorem ipsum"), F.lit("lorem"))
+        .when(n_kept < min_kept_lines, F.lit("too_few_lines"))
+        .otherwise(F.lit("ok"))
+    )
+    return F.struct(
+        F.size(lines).cast("long").alias("n_lines"),
+        n_kept.alias("n_kept"),
+        F.when(verdict == "ok", F.array_join(kept, "\n"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("clean_text"),
+        verdict.alias("verdict"),
+    )

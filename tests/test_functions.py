@@ -643,3 +643,43 @@ def test_semdedup_components_and_farthest_keeper(spark):
     # keepers: 1 (dist 40000 > 10000 > 0) and 11 (160000 > 40000 > 0),
     # 13 is its own singleton
     assert {v for v, r in out.items() if r["keep"] == 1} == {1, 11, 13}
+
+
+def test_c4_line_filter_rules(spark):
+    """Every C4 rule on a constructed page: terminal punctuation,
+    min-words, javascript line, lorem-ipsum page, brace page,
+    too-few-lines page, and a clean page whose surviving lines are
+    re-joined in order."""
+    from hetman_spark.functions.text import c4_line_filter
+
+    good = (
+        "this first line has enough words here.\n"
+        "short line.\n"
+        "no terminal punctuation on this long line\n"
+        "please enable javascript to view this page.\n"
+        "the second surviving line also has plenty of words!\n"
+        'a third "quoted" surviving line has words too?'
+    )
+    rows = [
+        (1, good),
+        (2, "lorem ipsum dolor sit amet consectetur adipiscing elit."),
+        (3, "var x = { a: 1 };\nreal sentence with five good words."),
+        (4, "only one surviving line with enough words here."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", c4_line_filter(F.col("text")).alias("s")
+        ).select("doc_id", "s.*").collect()
+    }
+    assert out[1]["verdict"] == "ok" and out[1]["n_lines"] == 6
+    assert out[1]["n_kept"] == 3
+    assert out[1]["clean_text"] == (
+        "this first line has enough words here.\n"
+        "the second surviving line also has plenty of words!\n"
+        'a third "quoted" surviving line has words too?'
+    )
+    assert out[2]["verdict"] == "lorem" and out[2]["clean_text"] is None
+    assert out[3]["verdict"] == "brace"
+    assert out[4]["verdict"] == "too_few_lines" and out[4]["n_kept"] == 1
