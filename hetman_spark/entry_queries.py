@@ -2718,6 +2718,140 @@ SQL_SEMDEDUP = _sql_semdedup(
 
 
 # ---------------------------------------------------------------------------
+# Training-data chunking: split each document into fixed-size token
+# windows with stride (the context-window preparation step every LLM
+# dataloader runs before packing).  Pure per-row Catalyst: split +
+# sequence + explode + dynamic slice — no UDF; at 100 TB the explode
+# happens inside the scan stage and only (doc_id, chunk) rows continue.
+# ---------------------------------------------------------------------------
+
+_CHUNK_C, _CHUNK_S = 50, 40  # window 50 tokens, stride 40 (overlap 10)
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunks per document: chunk i covers
+    tokens [i*stride, i*stride + size); the last window is short
+    rather than dropped (training pipelines pad it).  n_chunks =
+    1 + ceil((n - size)/stride) for n > size else 1 — integer-exact
+    on both engines (positive operands, so Spark's truncating div and
+    DuckDB's flooring // agree)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks).cast("long")
+    c, s = F.lit(_CHUNK_C).cast("long"), F.lit(_CHUNK_S).cast("long")
+    n_chunks = F.when(n <= c, F.lit(1).cast("long")).otherwise(
+        F.lit(1) + F.floor((n - c + s - F.lit(1)) / s)
+    ).cast("long")
+    base = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+            "chunk_ix"
+        ),
+    )
+    chunk = F.slice(
+        F.col("toks"), (F.col("chunk_ix") * _CHUNK_S + 1).cast("int"), _CHUNK_C
+    )
+    return base.select(
+        "doc_id",
+        "chunk_ix",
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+SQL_DOC_CHUNKS = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+  FROM documents
+), fan AS (
+  SELECT doc_id, tk,
+         CAST(unnest(range(CASE WHEN n <= {_CHUNK_C} THEN 1
+              ELSE 1 + (n - {_CHUNK_C} + {_CHUNK_S} - 1) // {_CHUNK_S} END))
+              AS BIGINT) AS chunk_ix
+  FROM toks
+)
+SELECT doc_id, chunk_ix,
+       CAST(len(list_slice(tk, chunk_ix * {_CHUNK_S} + 1,
+                           chunk_ix * {_CHUNK_S} + {_CHUNK_C})) AS BIGINT)
+         AS n_tokens,
+       array_to_string(list_slice(tk, chunk_ix * {_CHUNK_S} + 1,
+                                  chunk_ix * {_CHUNK_S} + {_CHUNK_C}), ' ')
+         AS chunk_text
+FROM fan
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing, concat-and-cut: documents are concatenated in a
+# deterministic order per lang and cut every B tokens (the GPT-style
+# dataloader packing).  Each doc is assigned to the bin its FIRST
+# token lands in; the entry reports per-bin composition (docs starting
+# there, their token mass) — the packing manifest a trainer shards on.
+# ---------------------------------------------------------------------------
+
+_PACK_B = 256
+
+
+def q_sequence_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, bin) packing manifest: deterministic concat order =
+    (md5(doc_id), doc_id); cumulative-tokens-before // B = bin id.
+    Integer-exact (floor of positive div agrees across engines).
+
+    Scale note: the per-lang running sum is a single sort per lang
+    here; the 100 TB shape is the standard two-phase prefix sum —
+    per-partition token totals collected once, partition start offsets
+    broadcast back, local cumsum within partitions (same decomposition
+    documented for dsir_resample's global threshold)."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+        F.md5(F.col("doc_id").cast("string")).alias("ord_key"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("ord_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = toks.select(
+        "lang",
+        "n_tok",
+        F.floor(
+            F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / F.lit(_PACK_B)
+        ).alias("bin_id"),
+    )
+    return binned.groupBy("lang", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+    )
+
+
+SQL_SEQUENCE_PACK_BINS = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         md5(CAST(doc_id AS VARCHAR)) AS ord_key
+  FROM documents
+), binned AS (
+  SELECT lang, n_tok,
+         CAST(floor(COALESCE(sum(n_tok) OVER (
+             PARTITION BY lang ORDER BY ord_key, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           / {_PACK_B}) AS BIGINT) AS bin_id
+  FROM toks
+)
+SELECT lang, bin_id, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens
+FROM binned GROUP BY lang, bin_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # C4 line/page cleaning (Raffel et al. 2020 §2.2).  The documents
 # fixture is single-line, so the entry derives a deterministic
 # multi-line variant INSIDE the query (literal replace + CASE marker
@@ -3252,6 +3386,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_topk": q_pq_topk,
     "semdedup": q_semdedup,
     "c4_line_filter": q_c4_line_filter,
+    "doc_chunks": q_doc_chunks,
+    "sequence_pack_bins": q_sequence_pack_bins,
     "multimodal_features": q_multimodal_features,
 }
 
@@ -3315,5 +3451,7 @@ ORACLES: dict[str, str] = {
     "pq_topk": SQL_PQ_TOPK,
     "semdedup": SQL_SEMDEDUP,
     "c4_line_filter": SQL_C4_LINE_FILTER,
+    "doc_chunks": SQL_DOC_CHUNKS,
+    "sequence_pack_bins": SQL_SEQUENCE_PACK_BINS,
     "multimodal_features": SQL_MULTIMODAL,
 }

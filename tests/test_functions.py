@@ -683,3 +683,53 @@ def test_c4_line_filter_rules(spark):
     assert out[2]["verdict"] == "lorem" and out[2]["clean_text"] is None
     assert out[3]["verdict"] == "brace"
     assert out[4]["verdict"] == "too_few_lines" and out[4]["n_kept"] == 1
+
+
+def test_doc_chunks_overlap_and_short_tail(spark, sf_dir):
+    """Chunk windows: stride-40/size-50 over a 130-token doc gives
+    chunks at offsets 0/40/80 (full) and a short tail; consecutive
+    chunks share exactly 10 tokens; a doc shorter than the window is
+    one chunk of its own length."""
+    from hetman_spark.entry_queries import q_doc_chunks
+
+    out = q_doc_chunks(spark, sf_dir).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_ix"])
+        assert [c["chunk_ix"] for c in chunks] == list(range(len(chunks)))
+        for c in chunks[:-1]:
+            assert c["n_tokens"] == 50
+        assert 1 <= chunks[-1]["n_tokens"] <= 50
+        if len(chunks) > 1:
+            a = chunks[0]["chunk_text"].split(" ")
+            b = chunks[1]["chunk_text"].split(" ")
+            assert a[40:] == b[: len(a) - 40]  # stride overlap
+
+
+def test_sequence_pack_bins_conservation(spark, sf_dir):
+    """Concat-and-cut packing: per lang, bin ids are dense from 0 and
+    total packed tokens/docs equal the corpus totals (nothing lost at
+    cut points)."""
+    from hetman_spark.entry_queries import q_sequence_pack_bins
+
+    rows = q_sequence_pack_bins(spark, sf_dir).collect()
+    per_lang = {}
+    for r in rows:
+        per_lang.setdefault(r["lang"], []).append(r)
+    src = {
+        r["lang"]: (r["n"], r["t"])
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.size(F.split("text", " "))).alias("t"),
+        )
+        .collect()
+    }
+    for lang, bins in per_lang.items():
+        bins.sort(key=lambda r: r["bin_id"])
+        assert bins[0]["bin_id"] == 0
+        assert sum(b["n_docs"] for b in bins) == src[lang][0]
+        assert sum(b["n_tokens"] for b in bins) == src[lang][1]
