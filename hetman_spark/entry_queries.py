@@ -2852,6 +2852,69 @@ FROM binned GROUP BY lang, bin_id
 
 
 # ---------------------------------------------------------------------------
+# Unicode NFC normalization before dedup: web corpora mix precomposed
+# (U+00E1) and decomposed (a + U+0301) encodings of the same visible
+# text, and byte-keyed exact dedup misses those pairs.  Spark SQL has
+# no normalize() built-in, so this is a LEGITIMATE Arrow pandas-UDF
+# path — and Python's unicodedata applies the same Unicode tables as
+# DuckDB's nfc_normalize, so the UDF output is fully value-hash
+# oracled (the multimodal_features pattern: UDF, but deterministic
+# and recomputable by the oracle engine).
+# ---------------------------------------------------------------------------
+
+
+def q_unicode_nfc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each doc fans out to a precomposed and a decomposed variant of
+    its text ('a' -> U+00E1 vs 'a'+U+0301 — byte-distinct, visually
+    identical); NFC normalization collapses them back: n_raw_forms=2
+    but n_norm_forms=1 for every doc containing an 'a' (and 1/1 for
+    docs without).  n_changed counts variants the normalizer actually
+    rewrote (the decomposed one).  Scale shape: the UDF is one
+    Arrow-batched map pass inside the scan stage; only (doc_id, hash)
+    pairs reach the aggregate shuffle."""
+    from hetman_spark.functions.text import nfc_normalize_udf
+
+    d = _t(spark, sf_dir, "documents")
+    pre = F.replace(F.col("text"), F.lit("a"), F.lit("\u00e1"))
+    dec = F.replace(F.col("text"), F.lit("a"), F.lit("a\u0301"))
+    variants = d.select(
+        "doc_id", F.explode(F.array(pre, dec)).alias("raw")
+    )
+    nfc = nfc_normalize_udf()
+    normed = variants.select(
+        "doc_id",
+        F.md5(F.col("raw")).alias("raw_hash"),
+        nfc(F.col("raw")).alias("norm"),
+        "raw",
+    )
+    return normed.groupBy("doc_id").agg(
+        F.countDistinct("raw_hash").alias("n_raw_forms"),
+        F.countDistinct(F.md5(F.col("norm"))).alias("n_norm_forms"),
+        F.sum(
+            F.when(F.col("norm") != F.col("raw"), F.lit(1)).otherwise(F.lit(0))
+        ).cast("long").alias("n_changed"),
+    )
+
+
+SQL_UNICODE_NFC_DEDUP = """
+WITH variants AS (
+  SELECT doc_id, unnest([replace(text, 'a', chr(225)),
+                         replace(text, 'a', 'a' || chr(769))]) AS raw
+  FROM documents
+), normed AS (
+  SELECT doc_id, md5(raw) AS raw_hash, nfc_normalize(raw) AS norm, raw
+  FROM variants
+)
+SELECT doc_id,
+       CAST(count(DISTINCT raw_hash) AS BIGINT) AS n_raw_forms,
+       CAST(count(DISTINCT md5(norm)) AS BIGINT) AS n_norm_forms,
+       CAST(sum(CASE WHEN norm != raw THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_changed
+FROM normed GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # C4 line/page cleaning (Raffel et al. 2020 §2.2).  The documents
 # fixture is single-line, so the entry derives a deterministic
 # multi-line variant INSIDE the query (literal replace + CASE marker
@@ -3388,6 +3451,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c4_line_filter": q_c4_line_filter,
     "doc_chunks": q_doc_chunks,
     "sequence_pack_bins": q_sequence_pack_bins,
+    "unicode_nfc_dedup": q_unicode_nfc_dedup,
     "multimodal_features": q_multimodal_features,
 }
 
@@ -3453,5 +3517,6 @@ ORACLES: dict[str, str] = {
     "c4_line_filter": SQL_C4_LINE_FILTER,
     "doc_chunks": SQL_DOC_CHUNKS,
     "sequence_pack_bins": SQL_SEQUENCE_PACK_BINS,
+    "unicode_nfc_dedup": SQL_UNICODE_NFC_DEDUP,
     "multimodal_features": SQL_MULTIMODAL,
 }

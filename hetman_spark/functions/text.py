@@ -9,6 +9,7 @@ column equally.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -219,3 +220,25 @@ def c4_line_filter(
         .alias("clean_text"),
         verdict.alias("verdict"),
     )
+
+
+def nfc_normalize_udf():
+    """Arrow-batched Unicode NFC normalizer — the one text-cleaning
+    primitive Spark SQL has NO built-in for (no normalize()/unaccent
+    in pyspark.sql.functions), so this is the legitimate pandas-UDF
+    slow path the brief allows: Python's unicodedata implements the
+    same Unicode normalization tables DuckDB's nfc_normalize uses, so
+    the result is byte-identical across engines and an oracle can
+    cover it.  Web corpora mix precomposed (U+00E1) and decomposed
+    (a + U+0301) forms of the same visible text; exact dedup keyed on
+    raw bytes silently misses those pairs — normalize FIRST, then
+    hash."""
+    import unicodedata
+
+    @F.pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    return nfc

@@ -733,3 +733,17 @@ def test_sequence_pack_bins_conservation(spark, sf_dir):
         assert bins[0]["bin_id"] == 0
         assert sum(b["n_docs"] for b in bins) == src[lang][0]
         assert sum(b["n_tokens"] for b in bins) == src[lang][1]
+
+
+def test_nfc_normalize_collapses_decomposed(spark):
+    """The NFC pandas UDF rewrites decomposed a+U+0301 to precomposed
+    U+00E1 and leaves already-composed text alone — so hash-keyed
+    dedup after normalization collapses byte-distinct visual twins."""
+    from hetman_spark.functions.text import nfc_normalize_udf
+
+    rows = [(1, "caf\u00e9"), (2, "cafe\u0301"), (3, "plain")]
+    df = spark.createDataFrame(rows, "id long, t string")
+    nfc = nfc_normalize_udf()
+    out = {r["id"]: r["n"] for r in df.select("id", nfc("t").alias("n")).collect()}
+    assert out[1] == out[2] == "caf\u00e9"
+    assert out[3] == "plain"
