@@ -2494,6 +2494,28 @@ SELECT query_id, neighbor_id, dot_q, rank FROM (
 
 _KM_K, _KM_ITERS, _KM_DIM = 8, 3, 64
 
+# Memoized k-means centroids per (sf_dir, k, iters, dim): training is
+# deterministic integer arithmetic (same trajectory in any session or
+# engine — that's what the unrolled-CTE oracles prove), so the trained
+# constants are a pure function of the inputs and safe to reuse across
+# the kmeans_clusters / ivf_topk_trained / semdedup entries instead of
+# re-running 3 Lloyd iterations (~4 s) in each.  Plain Python lists —
+# nothing session-scoped is cached.
+_KM_CENT_CACHE: dict[tuple, list[list[int]]] = {}
+
+
+def _trained_centroids(spark: SparkSession, sf_dir: str) -> list[list[int]]:
+    key = (sf_dir, _KM_K, _KM_ITERS, _KM_DIM)
+    if key not in _KM_CENT_CACHE:
+        from hetman_spark.functions.similarity import train_kmeans_centroids
+
+        e = _t(spark, sf_dir, "embeddings")
+        _, cents = train_kmeans_centroids(
+            e, _KM_K, _KM_ITERS, dim=_KM_DIM
+        )
+        _KM_CENT_CACHE[key] = cents
+    return _KM_CENT_CACHE[key]
+
 
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster stats of integer-exact k-means over the embeddings
@@ -2503,7 +2525,10 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hetman_spark.functions.similarity import kmeans_quantized
 
     e = _t(spark, sf_dir, "embeddings")
-    a = kmeans_quantized(e, k=_KM_K, iters=_KM_ITERS, dim=_KM_DIM)
+    a = kmeans_quantized(
+        e, k=_KM_K, iters=_KM_ITERS, dim=_KM_DIM,
+        centroids=_trained_centroids(spark, sf_dir),
+    )
     return a.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_members"),
         F.sum("dist_q").alias("inertia_q"),
@@ -2596,6 +2621,7 @@ def q_ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk_trained(
         e, queries, k=_IVT_TOPK, n_cells=_KM_K, iters=_KM_ITERS,
         nprobe=_IVT_NPROBE, dim=_KM_DIM,
+        centroids=_trained_centroids(spark, sf_dir),
     ).select("query_id", "neighbor_id", "dot_q", "rank")
 
 
@@ -2662,6 +2688,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(
         e, k=_KM_K, iters=_KM_ITERS, tau_num=_SD_TAU_NUM,
         tau_den=_SD_TAU_DEN, dim=_KM_DIM,
+        centroids=_trained_centroids(spark, sf_dir),
     )
 
 

@@ -747,3 +747,15 @@ def test_nfc_normalize_collapses_decomposed(spark):
     out = {r["id"]: r["n"] for r in df.select("id", nfc("t").alias("n")).collect()}
     assert out[1] == out[2] == "caf\u00e9"
     assert out[3] == "plain"
+
+
+def test_semdedup_pandas_gram_equals_expression_path(spark, sf_dir):
+    """The NumPy gram-matrix pair generator (pandas_gram=True) and the
+    pure-Catalyst ANSI-checked self-join produce the IDENTICAL final
+    (vec_id, cluster_id, component, keep) table."""
+    from hetman_spark.functions.similarity import semdedup
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    fast = sorted(map(tuple, semdedup(e, dim=64, pandas_gram=True).collect()))
+    slow = sorted(map(tuple, semdedup(e, dim=64, pandas_gram=False).collect()))
+    assert fast == slow and len(fast) > 0
