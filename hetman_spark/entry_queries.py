@@ -2879,6 +2879,180 @@ FROM binned GROUP BY lang, bin_id
 
 
 # ---------------------------------------------------------------------------
+# Target-mix rebalancing (the data-mixing table of every corpus
+# recipe): given per-source target WEIGHTS, water-fill — find the
+# largest integer T with T*w_s <= avail_s for every source, then admit
+# exactly T*w_s docs per source in deterministic md5 order.  The
+# resampled corpus hits the exact target ratio, bounded by the
+# scarcest source (no source oversampled).
+# ---------------------------------------------------------------------------
+
+
+def q_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling mix rebalance over documents.source with derived
+    weights w = (source number % 4) + 1 (the fixture's sources are
+    deliberately uniform, so constant weights would be a no-op).
+    T = min_s floor(avail_s / w_s) rides as a broadcast 1-row cross
+    join — no driver collect; admission is a per-source window on
+    md5(doc_id).  Scale shape: one tiny groupBy + broadcast scalar;
+    at 100 TB the rank-window admission is replaced by md5-threshold
+    admission at rate quota_s/avail_s (functions/sample.py) — no
+    per-source sort, same determinism, ±binomial jitter instead of
+    an exact quota."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    weight = (
+        F.regexp_extract(F.col("source"), r"(\d+)$", 1).cast("long") % 4 + 1
+    )
+    per = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_avail"))
+    per = per.select(
+        "source", "n_avail", weight.alias("weight")
+    )
+    tmin = per.select(
+        F.min(F.floor(F.col("n_avail") / F.col("weight"))).alias("t")
+    )
+    quotas = per.crossJoin(F.broadcast(tmin)).select(
+        "source",
+        "n_avail",
+        "weight",
+        (F.col("t") * F.col("weight")).cast("long").alias("quota"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = d.select(
+        "doc_id", "source", F.row_number().over(w).cast("long").alias("rk")
+    )
+    return ranked.join(F.broadcast(quotas), "source").where(
+        F.col("rk") <= F.col("quota")
+    ).select("doc_id", "source", "rk", "quota")
+
+
+SQL_MIX_REBALANCE = """
+WITH per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_avail,
+         CAST(regexp_extract(source, '(\\d+)$', 1) AS BIGINT) % 4 + 1
+           AS weight
+  FROM documents GROUP BY source
+), tmin AS (
+  SELECT min(n_avail // weight) AS t FROM per
+), quotas AS (
+  SELECT source, n_avail, weight, CAST(t * weight AS BIGINT) AS quota
+  FROM per CROSS JOIN tmin
+), ranked AS (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+  FROM documents
+)
+SELECT r.doc_id, r.source, r.rk, q.quota
+FROM ranked r JOIN quotas q ON r.source = q.source
+WHERE r.rk <= q.quota
+"""
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprint selection (Schleimer et al. 2003, the MOSS
+# document sketch): from the positional k-gram hash stream, select the
+# MINIMUM hash in every sliding window of w grams (ties -> rightmost),
+# then dedupe selections.  Guarantees: any shared substring of length
+# >= w+k-1 contributes at least one shared fingerprint, and selected
+# density is ~2/(w+1) — the local-algorithm properties that make the
+# sketch robust for partial-overlap detection where whole-doc MinHash
+# is not (MinHash sketches SET similarity; winnowing localizes).
+# ---------------------------------------------------------------------------
+
+_WN_K, _WN_W = 3, 4  # gram size, window size
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing over word 3-grams, window 4.  Formulated shuffle-first
+    rather than array-sliding: each gram row fans out to the <= w
+    windows containing it (explode), one partial-aggregated
+    groupBy(doc, window) picks min(hash, ties rightmost), and a
+    distinct collapses adjacent windows that chose the same gram.
+    This evaluates md5 ONCE per gram (an array-of-slices formulation
+    re-hashes every gram w times — the r5 LSH plan-CSE lesson) and
+    every stage is a keyed shuffle of (doc, pos, hash) tuples; text
+    never moves.  Rows out: (doc_id, pos, fp) — the sketch a
+    partial-overlap index stores."""
+    d = _tp(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_grams = F.size(words) - _WN_K + 1
+    grams = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_grams - 1),
+                _gram_md5_factory(words, _WN_K),
+            )
+        ).alias("pos", "h"),
+        n_grams.cast("long").alias("n_grams"),
+    )
+    # windows containing gram at pos: i in [max(0, pos-w+1), min(pos, n_win-1)]
+    win = grams.select(
+        "doc_id",
+        "pos",
+        "h",
+        F.explode(
+            F.sequence(
+                F.greatest(F.lit(0), F.col("pos") - _WN_W + 1),
+                F.least(F.col("pos"), F.col("n_grams") - _WN_W),
+            )
+        ).alias("win"),
+    ).where(F.col("win") >= 0)
+    sel = (
+        win.groupBy("doc_id", "win")
+        .agg(F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))).alias("s"))
+        .select(
+            "doc_id",
+            (-F.col("s.np")).cast("long").alias("pos"),
+            F.col("s.h").alias("fp"),
+        )
+        .distinct()
+    )
+    return sel
+
+
+def _gram_md5_factory(words, k: int):
+    """Closure factory (CLAUDE.md: binding loop vars via default args
+    inside higher-order lambdas silently changes semantics)."""
+    def g(i):
+        return F.md5(F.concat_ws(" ", F.slice(words, i + 1, k)))
+
+    return g
+
+
+SQL_WINNOW_FINGERPRINTS = f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), grams AS (
+  SELECT doc_id,
+         CAST(t.i AS BIGINT) AS pos,
+         md5(array_to_string(list_slice(w, t.i + 1, t.i + {_WN_K}), ' ')) AS h,
+         CAST(len(w) - {_WN_K} + 1 AS BIGINT) AS n_grams
+  FROM words
+  CROSS JOIN LATERAL (SELECT unnest(range(len(w) - {_WN_K} + 1)) AS i) t
+), fan AS (
+  SELECT doc_id, pos, h, CAST(t.win AS BIGINT) AS win
+  FROM grams
+  CROSS JOIN LATERAL (
+    SELECT unnest(range(greatest(0, pos - {_WN_W} + 1),
+                        least(pos, n_grams - {_WN_W}) + 1)) AS win) t
+  WHERE t.win >= 0
+), sel AS (
+  SELECT doc_id, pos, h,
+         row_number() OVER (PARTITION BY doc_id, win
+                            ORDER BY h, pos DESC) AS rn
+  FROM fan
+)
+SELECT DISTINCT doc_id, pos, h AS fp FROM sel WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Unicode NFC normalization before dedup: web corpora mix precomposed
 # (U+00E1) and decomposed (a + U+0301) encodings of the same visible
 # text, and byte-keyed exact dedup misses those pairs.  Spark SQL has
@@ -3479,6 +3653,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_chunks": q_doc_chunks,
     "sequence_pack_bins": q_sequence_pack_bins,
     "unicode_nfc_dedup": q_unicode_nfc_dedup,
+    "mix_rebalance": q_mix_rebalance,
+    "winnow_fingerprints": q_winnow_fingerprints,
     "multimodal_features": q_multimodal_features,
 }
 
@@ -3545,5 +3721,7 @@ ORACLES: dict[str, str] = {
     "doc_chunks": SQL_DOC_CHUNKS,
     "sequence_pack_bins": SQL_SEQUENCE_PACK_BINS,
     "unicode_nfc_dedup": SQL_UNICODE_NFC_DEDUP,
+    "mix_rebalance": SQL_MIX_REBALANCE,
+    "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
     "multimodal_features": SQL_MULTIMODAL,
 }

@@ -759,3 +759,47 @@ def test_semdedup_pandas_gram_equals_expression_path(spark, sf_dir):
     fast = sorted(map(tuple, semdedup(e, dim=64, pandas_gram=True).collect()))
     slow = sorted(map(tuple, semdedup(e, dim=64, pandas_gram=False).collect()))
     assert fast == slow and len(fast) > 0
+
+
+def test_winnow_fingerprints_guarantees(spark, sf_dir):
+    """Winnowing invariants (Schleimer et al. 2003): (1) every window
+    of w consecutive grams contains >= 1 selected position, (2) two
+    docs sharing a long substring share at least one fingerprint,
+    (3) density is far below 1 (the point of the sketch)."""
+    from hetman_spark.entry_queries import (
+        _WN_K,
+        _WN_W,
+        q_winnow_fingerprints,
+    )
+
+    rows = q_winnow_fingerprints(spark, sf_dir).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], set()).add(r["pos"])
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    total_sel = total_grams = 0
+    for doc_id, positions in by_doc.items():
+        n_grams = len(docs[doc_id].split(" ")) - _WN_K + 1
+        total_sel += len(positions)
+        total_grams += n_grams
+        for i in range(n_grams - _WN_W + 1):
+            assert any(i <= p < i + _WN_W for p in positions), (doc_id, i)
+    assert total_sel / total_grams < 0.6  # sketch, not the full stream
+
+    # shared-substring guarantee on a constructed pair
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [(900001, "xx yy " + shared), (900002, shared + " qq rr ss tt")],
+        "doc_id long, text string",
+    )
+    import tempfile, os
+    tmp = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+    out = q_winnow_fingerprints(spark, tmp).collect()
+    fps = {}
+    for r in out:
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps[900001] & fps[900002]
