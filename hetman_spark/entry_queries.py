@@ -3227,22 +3227,18 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(
         e, queries, k=_PQ_TOPK, m_sub=_PQ_M, ks=_PQ_KS,
         iters=_PQ_ITERS, dim=_KM_DIM,
+        codebooks=_trained_codebooks(spark, sf_dir),
     )
 
 
-def _sql_pq_topk(m_sub: int, ks: int, iters: int, dim: int,
-                 nq: int, topk: int) -> str:
-    """DuckDB twin of pq_topk: per-subspace unrolled k-means training
-    chains (the _sql_kmeans_parts recipe parameterized by subspace),
-    final argmin encoding, and ADC scoring — subspace m's contribution
-    to a (query, candidate) pair is the distance from the query's m-th
-    subvector to the CENTROID the candidate's code names, which is
-    exactly the distance-table lookup."""
+def _sql_pq_parts(m_sub: int, ks: int, iters: int, dim: int) -> list[str]:
+    """Per-subspace PQ training/encoding CTE chains (the
+    _sql_kmeans_parts recipe parameterized by subspace): qs{m}
+    subvector projections, c{m}_{i} centroid iterations, code{m}
+    final encodings.  Expects a CTE `q(vec_id, qv)` upstream."""
     ds = dim // m_sub
     dist = _sql_kmeans_dist(ds)
-    parts = [
-        f"q AS (SELECT vec_id, {_sql_quantized('embedding')} AS qv FROM embeddings)",
-    ]
+    parts: list[str] = []
     for m in range(m_sub):
         lo, hi = m * ds + 1, (m + 1) * ds
         parts.append(
@@ -3276,6 +3272,21 @@ def _sql_pq_topk(m_sub: int, ks: int, iters: int, dim: int,
     FROM (SELECT q.vec_id, c.ci, {dist} AS d
           FROM qs{m} q CROSS JOIN c{m}_{iters} c))
   WHERE rn = 1)""")
+    return parts
+
+
+def _sql_pq_topk(m_sub: int, ks: int, iters: int, dim: int,
+                 nq: int, topk: int) -> str:
+    """DuckDB twin of pq_topk: per-subspace unrolled k-means training
+    chains, final argmin encoding, and ADC scoring — subspace m's
+    contribution to a (query, candidate) pair is the distance from
+    the query's m-th subvector to the CENTROID the candidate's code
+    names, which is exactly the distance-table lookup."""
+    ds = dim // m_sub
+    parts = [
+        f"q AS (SELECT vec_id, {_sql_quantized('embedding')} AS qv FROM embeddings)",
+    ]
+    parts += _sql_pq_parts(m_sub, ks, iters, dim)
     parts.append(
         f"qsel AS (SELECT vec_id FROM q ORDER BY vec_id LIMIT {nq})"
     )
@@ -3305,6 +3316,104 @@ WHERE rank <= {topk}
 
 
 SQL_PQ_TOPK = _sql_pq_topk(_PQ_M, _PQ_KS, _PQ_ITERS, _KM_DIM, _PQ_NQ, _PQ_TOPK)
+
+
+# Memoized PQ codebooks, same argument as _KM_CENT_CACHE: deterministic
+# integer training => a pure function of (sf_dir, m, ks, iters, dim).
+_PQ_CB_CACHE: dict[tuple, list[list[list[int]]]] = {}
+
+
+def _trained_codebooks(spark: SparkSession, sf_dir: str):
+    key = (sf_dir, _PQ_M, _PQ_KS, _PQ_ITERS, _KM_DIM)
+    if key not in _PQ_CB_CACHE:
+        from hetman_spark.functions.similarity import pq_train_codebooks
+
+        e = _tp(spark, sf_dir, "embeddings")
+        _, cb = pq_train_codebooks(
+            e, m_sub=_PQ_M, ks=_PQ_KS, iters=_PQ_ITERS, dim=_KM_DIM
+        )
+        _PQ_CB_CACHE[key] = cb
+    return _PQ_CB_CACHE[key]
+
+
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed IVF+PQ index (similarity.ivfpq_topk — Jegou et
+    al.'s IVFADC structure, no-residual variant): trained coarse cells
+    prune the corpus to nprobe cells per query, PQ codes + ADC tables
+    replace the full-dim dot.  Reuses BOTH memoized constant families
+    (the kmeans_clusters centroids and the pq_topk codebooks), so the
+    DuckDB twin is exactly the union of their unrolled-CTE training
+    chains plus a cell-pruned ADC join."""
+    from hetman_spark.functions.similarity import ivfpq_topk
+
+    e = _tp(spark, sf_dir, "embeddings")
+    queries = e.orderBy("vec_id").limit(_IVT_NQ)
+    return ivfpq_topk(
+        e, queries, k=_IVT_TOPK, n_cells=_KM_K, km_iters=_KM_ITERS,
+        nprobe=_IVT_NPROBE, m_sub=_PQ_M, ks=_PQ_KS, pq_iters=_PQ_ITERS,
+        dim=_KM_DIM,
+        centroids=_trained_centroids(spark, sf_dir),
+        codebooks=_trained_codebooks(spark, sf_dir),
+    )
+
+
+def _sql_ivfpq(k_cells: int, km_iters: int, dim: int, m_sub: int,
+               ks: int, pq_iters: int, nprobe: int, nq: int,
+               topk: int) -> str:
+    """DuckDB twin of ivfpq_topk: the kmeans cell-training CTEs and
+    the per-subspace PQ CTEs share one corpus projection `q`; corpus
+    rows get a cell (argmin vs c{km_iters}) and per-subspace codes;
+    queries probe nprobe cells; ADC contributions join candidate codes
+    to trained centroids, restricted to cell-matched pairs."""
+    dist = _sql_kmeans_dist(dim)
+    ds = dim // m_sub
+    parts = _sql_kmeans_parts(k_cells, km_iters, dim)
+    parts += _sql_pq_parts(m_sub, ks, pq_iters, dim)
+    parts.append(f"""asn AS (
+  SELECT vec_id, ci AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, ci) AS rn
+    FROM (SELECT q.vec_id, c.ci, {dist} AS d FROM q CROSS JOIN c{km_iters} c))
+  WHERE rn = 1)""")
+    parts.append(f"""qsel AS (
+  SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT {nq})""")
+    parts.append(f"""probes AS (
+  SELECT vec_id, ci AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, ci) AS rn
+    FROM (SELECT q.vec_id, q.qv, c.ci, {dist} AS d
+          FROM qsel q CROSS JOIN c{km_iters} c))
+  WHERE rn <= {nprobe})""")
+    parts.append("""cands AS (
+  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
+  FROM asn a JOIN probes p ON a.cell = p.cell AND a.vec_id != p.vec_id)""")
+    dms = []
+    for m in range(m_sub):
+        parts.append(f"""dm{m} AS (
+  SELECT cd.query_id, cd.neighbor_id, {_sql_kmeans_dist(ds, 'qu', 'c')} AS d
+  FROM cands cd
+  JOIN code{m} co ON co.vec_id = cd.neighbor_id
+  JOIN c{m}_{pq_iters} c ON c.ci = co.ci
+  JOIN qs{m} qu ON qu.vec_id = cd.query_id)""")
+        dms.append(f"SELECT * FROM dm{m}")
+    parts.append(f"""adc AS (
+  SELECT query_id, neighbor_id, CAST(sum(d) AS BIGINT) AS adc_dist
+  FROM ({' UNION ALL '.join(dms)})
+  GROUP BY query_id, neighbor_id)""")
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT query_id, neighbor_id, adc_dist, rank FROM (
+  SELECT query_id, neighbor_id, adc_dist,
+         CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist, neighbor_id) AS BIGINT) AS rank
+  FROM adc)
+WHERE rank <= {topk}
+"""
+    )
+
+
+SQL_IVFPQ_TOPK = _sql_ivfpq(
+    _KM_K, _KM_ITERS, _KM_DIM, _PQ_M, _PQ_KS, _PQ_ITERS,
+    _IVT_NPROBE, _IVT_NQ, _IVT_TOPK
+)
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3655,6 +3764,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unicode_nfc_dedup": q_unicode_nfc_dedup,
     "mix_rebalance": q_mix_rebalance,
     "winnow_fingerprints": q_winnow_fingerprints,
+    "ivfpq_topk": q_ivfpq_topk,
     "multimodal_features": q_multimodal_features,
 }
 
@@ -3723,5 +3833,6 @@ ORACLES: dict[str, str] = {
     "unicode_nfc_dedup": SQL_UNICODE_NFC_DEDUP,
     "mix_rebalance": SQL_MIX_REBALANCE,
     "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
+    "ivfpq_topk": SQL_IVFPQ_TOPK,
     "multimodal_features": SQL_MULTIMODAL,
 }

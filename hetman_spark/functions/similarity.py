@@ -726,40 +726,10 @@ def pq_train_codebooks(
     return q, cents
 
 
-def pq_topk(
-    corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
-    m_sub: int = 8,
-    ks: int = 8,
-    iters: int = 2,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-    dim: int = 64,
-) -> DataFrame:
-    """PQ asymmetric-distance top-k (Jegou et al. 2011's ADC): encode
-    every corpus vector as m_sub codebook indexes (map-side argmin per
-    subspace), precompute each query's distance TABLE to every
-    codebook centroid (m_sub x ks ints, on the tiny query side), and
-    score a candidate as the sum of m_sub table lookups — 8 lookups
-    replacing a 64-dim dot product, and the corpus compressed to
-    m_sub bytes/vector.
-
-    This entry scores the whole corpus (the ADC inner loop); at
-    100 TB the same loop runs per-IVF-cell after ivf_topk_trained's
-    coarse pruning (IVFADC) — the corpus side here is already
-    encode-once/scan-many and NEVER shuffled (the query side with its
-    dist tables is broadcast).  Integer-exact: quantized vectors,
-    integer squared-L2 tables, BIGINT sums; ties break to the lowest
-    neighbor id."""
-    import json as _json
-
-    q, cents = pq_train_codebooks(
-        corpus, m_sub=m_sub, ks=ks, iters=iters,
-        vec_col=vec_col, id_col=id_col, dim=dim,
-    )
-    ds = dim // m_sub
-    code = F.array(
+def _pq_code_expr(cents: list[list[list[int]]], ds: int, m_sub: int) -> Column:
+    """array<long> of per-subspace nearest-codebook-centroid indexes
+    for the row's quantized vector column `qv` — the PQ encoding."""
+    return F.array(
         *[
             F.array_min(
                 packed_centroid_dist_array(
@@ -769,7 +739,15 @@ def pq_topk(
             for m in range(m_sub)
         ]
     )
-    encoded = q.select("vec_id", code.alias("code"))
+
+
+def _pq_dist_table_expr(
+    cents: list[list[list[int]]], ds: int, m_sub: int
+) -> Column:
+    """array<array<long>>: dt[m][ci] = squared L2 distance from the
+    row's m-th query subvector to codebook centroid ci — the per-query
+    ADC lookup tables, built on the tiny broadcast side."""
+    import json as _json
 
     def _dist_table(m: int) -> Column:
         # closure factory, NOT a default-arg lambda: a 2-param lambda
@@ -784,16 +762,13 @@ def pq_topk(
             ),
         )
 
-    dt = F.array(*[_dist_table(m) for m in range(m_sub)])
-    qside = (
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            quantize_vec(F.col(vec_col)).alias("qv"),
-        )
-        .select("query_id", dt.alias("dt"))
-    )
+    return F.array(*[_dist_table(m) for m in range(m_sub)])
 
-    adc = F.aggregate(
+
+def _pq_adc_expr(m_sub: int) -> Column:
+    """ADC score: sum over subspaces of dt[m][code[m]] — m_sub array
+    lookups replacing a full-dim dot product."""
+    return F.aggregate(
         F.sequence(F.lit(0), F.lit(m_sub - 1)),
         F.lit(0).cast("long"),
         lambda acc, mi: acc
@@ -802,6 +777,60 @@ def pq_topk(
             (F.element_at(F.col("code"), mi + 1) + 1).cast("int"),
         ),
     )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m_sub: int = 8,
+    ks: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    codebooks: list[list[list[int]]] | None = None,
+) -> DataFrame:
+    """PQ asymmetric-distance top-k (Jegou et al. 2011's ADC): encode
+    every corpus vector as m_sub codebook indexes (map-side argmin per
+    subspace), precompute each query's distance TABLE to every
+    codebook centroid (m_sub x ks ints, on the tiny query side), and
+    score a candidate as the sum of m_sub table lookups — 8 lookups
+    replacing a 64-dim dot product, and the corpus compressed to
+    m_sub bytes/vector.
+
+    This entry scores the whole corpus (the ADC inner loop); at
+    100 TB the same loop runs per-IVF-cell after ivf_topk_trained's
+    coarse pruning (IVFADC — see ivfpq_topk for the composed index) —
+    the corpus side here is already encode-once/scan-many and NEVER
+    shuffled (the query side with its dist tables is broadcast).
+    Integer-exact: quantized vectors, integer squared-L2 tables,
+    BIGINT sums; ties break to the lowest neighbor id.
+
+    Pass `codebooks` (deterministic training output, memoizable) to
+    skip the training loop."""
+    if codebooks is not None:
+        q = corpus.select(
+            F.col(id_col).alias("vec_id"),
+            quantize_vec(F.col(vec_col)).alias("qv"),
+        )
+        cents = codebooks
+    else:
+        q, cents = pq_train_codebooks(
+            corpus, m_sub=m_sub, ks=ks, iters=iters,
+            vec_col=vec_col, id_col=id_col, dim=dim,
+        )
+    ds = dim // m_sub
+    encoded = q.select("vec_id", _pq_code_expr(cents, ds, m_sub).alias("code"))
+    qside = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            quantize_vec(F.col(vec_col)).alias("qv"),
+        )
+        .select("query_id", _pq_dist_table_expr(cents, ds, m_sub).alias("dt"))
+    )
+
+    adc = _pq_adc_expr(m_sub)
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
@@ -814,6 +843,103 @@ def pq_topk(
             adc.alias("adc_dist"),
         )
         .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    km_iters: int = 3,
+    nprobe: int = 2,
+    m_sub: int = 8,
+    ks: int = 8,
+    pq_iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    centroids: list[list[int]] | None = None,
+    codebooks: list[list[list[int]]] | None = None,
+) -> DataFrame:
+    """The COMPOSED production ANN index — IVF coarse pruning + PQ
+    compressed scoring (Jegou et al. 2011's IVFADC structure, in the
+    no-residual variant FAISS exposes as IndexIVFPQ(by_residual=False):
+    codebooks quantize the raw vectors, not the cell residuals, so the
+    coarse quantizer and the product quantizer stay independently
+    trained/oracled constants):
+
+      1. TRAIN: k-means cell centroids (train_kmeans_centroids) and
+         per-subspace PQ codebooks (pq_train_codebooks) — both
+         deterministic integer-exact, both driver-side constants;
+      2. ENCODE: every corpus vector gets its nearest cell (map-side
+         argmin) and its m_sub-byte PQ code (map-side argmin per
+         subspace) — ONE pass, no shuffle; at 100 TB this table is
+         written partitionBy(cell) with the code column, the corpus
+         re-read never touches raw vectors again;
+      3. PROBE: each query expands to its nprobe nearest cells
+         (query-side explode) with its ADC distance tables
+         (m_sub x ks ints) on the broadcast side;
+      4. SCORE: equi-join on cell, ADC = m_sub table lookups per
+         candidate, window top-k (ties to lowest neighbor id).
+
+    The probe join is the ONLY distributed step that scales with the
+    corpus, it is cell-pruned (nprobe/n_cells of the data), and its
+    payload per candidate is (id, cell, m_sub codes) — the raw
+    vectors stay in stage 2."""
+    from pyspark.sql import Window
+
+    if centroids is None:
+        _, centroids = train_kmeans_centroids(
+            corpus, n_cells, km_iters, vec_col, id_col, dim
+        )
+    if codebooks is None:
+        _, codebooks = pq_train_codebooks(
+            corpus, m_sub=m_sub, ks=ks, iters=pq_iters,
+            vec_col=vec_col, id_col=id_col, dim=dim,
+        )
+    ds = dim // m_sub
+    q = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        quantize_vec(F.col(vec_col)).alias("qv"),
+    )
+    encoded = q.select(
+        "vec_id",
+        F.array_min(centroid_dist_array(centroids, F.col("qv")))
+        .getField("c")
+        .alias("cell"),
+        _pq_code_expr(codebooks, ds, m_sub).alias("code"),
+    )
+    qside = queries.select(
+        F.col(id_col).alias("query_id"),
+        quantize_vec(F.col(vec_col)).alias("qv"),
+    ).select(
+        "query_id",
+        _pq_dist_table_expr(codebooks, ds, m_sub).alias("dt"),
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.array_sort(centroid_dist_array(centroids, F.col("qv"))),
+                    1,
+                    nprobe,
+                ),
+                lambda s: s.getField("c"),
+            )
+        ).alias("cell"),
+    )
+    scored = (
+        encoded.join(F.broadcast(qside), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _pq_adc_expr(m_sub).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
     )
 

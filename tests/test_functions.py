@@ -803,3 +803,50 @@ def test_winnow_fingerprints_guarantees(spark, sf_dir):
     for r in out:
         fps.setdefault(r["doc_id"], set()).add(r["fp"])
     assert fps[900001] & fps[900002]
+
+
+def test_ivfpq_neighbors_come_from_probed_cells(spark, sf_dir):
+    """IVFPQ structural invariant: every returned neighbor's trained
+    cell is one of its query's nprobe probed cells, and per-query
+    ranks are dense from 1 ordered by ADC distance."""
+    from hetman_spark.functions.similarity import (
+        centroid_dist_array,
+        ivfpq_topk,
+        quantize_vec,
+        train_kmeans_centroids,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    _, cents = train_kmeans_centroids(e, 8, 3, dim=64)
+    out = ivfpq_topk(
+        e, e.orderBy("vec_id").limit(3), k=5, nprobe=2,
+        centroids=cents, dim=64,
+    ).collect()
+
+    q = e.select(
+        "vec_id", quantize_vec(F.col("embedding")).alias("qv")
+    )
+    cells = {
+        r["vec_id"]: r["cell"]
+        for r in q.select(
+            "vec_id",
+            F.array_min(centroid_dist_array(cents, F.col("qv")))
+            .getField("c")
+            .alias("cell"),
+        ).collect()
+    }
+    probe = {
+        r["vec_id"]: [s["c"] for s in r["p"][:2]]
+        for r in q.select(
+            "vec_id",
+            F.array_sort(centroid_dist_array(cents, F.col("qv"))).alias("p"),
+        ).collect()
+    }
+    per_q = {}
+    for r in out:
+        assert cells[r["neighbor_id"]] in probe[r["query_id"]]
+        per_q.setdefault(r["query_id"], []).append((r["rank"], r["adc_dist"]))
+    for ranks in per_q.values():
+        ranks.sort()
+        assert [r for r, _ in ranks] == list(range(1, len(ranks) + 1))
+        assert [d for _, d in ranks] == sorted(d for _, d in ranks)
