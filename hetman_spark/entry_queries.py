@@ -3416,6 +3416,117 @@ SQL_IVFPQ_TOPK = _sql_ivfpq(
 )
 
 
+_SQ8_NQ, _SQ8_TOPK = 3, 5
+
+
+def q_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantization (SQ8) asymmetric top-k
+    (similarity.sq8_topk): per-dim min/max trained in one 64-group
+    partial-agg, corpus scored through its 8-bit reconstruction,
+    queries full-precision.  Completes the classic ANN compression
+    trio next to PQ (pq_topk) and IVF cells (ivf_topk_trained) —
+    SQ8 is the memory-compression choice when per-dim affine codes
+    are accurate enough and codebook training is not worth it."""
+    from hetman_spark.functions.similarity import sq8_topk
+
+    e = _tp(spark, sf_dir, "embeddings")
+    queries = e.orderBy("vec_id").limit(_SQ8_NQ)
+    return sq8_topk(e, queries, k=_SQ8_TOPK)
+
+
+def _sql_sq8_topk(nq: int, topk: int, dim: int) -> str:
+    return f"""
+WITH xi AS (
+  SELECT vec_id, {_sql_quantized("embedding")} AS v FROM embeddings
+), dims AS (
+  SELECT vec_id, v[t.j + 1] AS x, t.j AS d
+  FROM xi CROSS JOIN (SELECT CAST(unnest(range({dim})) AS BIGINT) AS j) t
+), stats AS (
+  SELECT d, min(x) AS mn, max(x) AS mx FROM dims GROUP BY d
+), recon AS (
+  SELECT vec_id, d,
+         s.mn + CAST(floor(
+           floor((x - s.mn) * 255 / greatest(1, s.mx - s.mn))
+           * (s.mx - s.mn) / 255) AS BIGINT) AS r
+  FROM dims JOIN stats s USING (d)
+), qsel AS (
+  SELECT vec_id FROM xi ORDER BY vec_id LIMIT {nq}
+), scores AS (
+  SELECT qd.vec_id AS query_id, r.vec_id AS neighbor_id,
+         CAST(sum(r.r * qd.x) AS BIGINT) AS score
+  FROM recon r
+  JOIN (SELECT dm.* FROM dims dm JOIN qsel ON qsel.vec_id = dm.vec_id) qd
+    ON qd.d = r.d
+  WHERE r.vec_id != qd.vec_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, score, rank FROM (
+  SELECT query_id, neighbor_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
+  FROM scores)
+WHERE rank <= {topk}
+"""
+
+
+SQL_SQ8_TOPK = _sql_sq8_topk(_SQ8_NQ, _SQ8_TOPK, _KM_DIM)
+
+
+_KNN_NQ, _KNN_K = 5, 9
+
+
+def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN majority-vote label propagation
+    (similarity.knn_label_vote): first use of the embeddings table's
+    `label` column — classify each query by the majority label of its
+    9 nearest integer-dot neighbors.  The classifier-based
+    quality/domain tagging stage of a training-data pipeline."""
+    from hetman_spark.functions.similarity import knn_label_vote
+
+    e = _tp(spark, sf_dir, "embeddings")
+    queries = e.orderBy("vec_id").limit(_KNN_NQ)
+    return knn_label_vote(e, queries, k=_KNN_K)
+
+
+def _sql_knn_label_vote(nq: int, k: int) -> str:
+    return f"""
+WITH xi AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         {_sql_quantized("embedding")} AS v
+  FROM embeddings
+), qsel AS (
+  SELECT vec_id, label, v FROM xi ORDER BY vec_id LIMIT {nq}
+), scored AS (
+  SELECT q.vec_id AS query_id, q.label AS true_label,
+         c.label AS nb_label, c.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(range(1, len(c.v) + 1),
+           j -> c.v[j] * q.v[j])) AS BIGINT) AS score
+  FROM xi c CROSS JOIN qsel q
+  WHERE c.vec_id != q.vec_id
+), top AS (
+  SELECT query_id, true_label, nb_label FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id) AS rn
+    FROM scored)
+  WHERE rn <= {k}
+), votes AS (
+  SELECT query_id, true_label, nb_label, count(*) AS votes
+  FROM top GROUP BY 1, 2, 3
+)
+SELECT query_id, true_label, nb_label AS predicted_label,
+       CAST(votes AS BIGINT) AS votes,
+       CAST(CASE WHEN nb_label = true_label THEN 1 ELSE 0 END AS BIGINT) AS match
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY votes DESC, nb_label) AS vrn
+  FROM votes)
+WHERE vrn = 1
+"""
+
+
+SQL_KNN_LABEL_VOTE = _sql_knn_label_vote(_KNN_NQ, _KNN_K)
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-feature extraction over the synthetic media table,
     materialized to parquet at a fixed path (same trick as
@@ -3765,6 +3876,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mix_rebalance": q_mix_rebalance,
     "winnow_fingerprints": q_winnow_fingerprints,
     "ivfpq_topk": q_ivfpq_topk,
+    "sq8_topk": q_sq8_topk,
+    "knn_label_vote": q_knn_label_vote,
     "multimodal_features": q_multimodal_features,
 }
 
@@ -3834,5 +3947,7 @@ ORACLES: dict[str, str] = {
     "mix_rebalance": SQL_MIX_REBALANCE,
     "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
     "ivfpq_topk": SQL_IVFPQ_TOPK,
+    "sq8_topk": SQL_SQ8_TOPK,
+    "knn_label_vote": SQL_KNN_LABEL_VOTE,
     "multimodal_features": SQL_MULTIMODAL,
 }

@@ -1106,3 +1106,179 @@ def semdedup(
         .cast("int")
         .alias("keep"),
     )
+
+
+def sq8_train_stats(corpus: DataFrame, vec_col: str = "embedding",
+                    scale: int = 1000) -> DataFrame:
+    """Scalar-quantization (SQ8) training: per-DIMENSION min/max over
+    the quantized corpus, packed into a single 1-row DataFrame with
+    `mns`/`mxs` array columns.
+
+    Faiss's ScalarQuantizer(QT_8bit) analog — the third classic
+    compression next to PQ (pq_train_codebooks) and IVF cells: each
+    dimension is affinely mapped to 0..255, so a 64-dim float vector
+    stores in 64 bytes (8x).  Re-expresses the ANN-index requirement
+    the same way the reference ships raw payloads (hetman has no
+    vector ops; SURVEY §2 extension surface).
+
+    Scale shape: one posexplode (corpus x dim rows) into a 64-group
+    partial-agg min/max — map-side combine collapses each scan
+    partition to <=dim rows, so the shuffle is O(partitions x dim),
+    not O(rows).  The packed result is bytes: broadcast it.  The
+    array_sort(collect_list(struct(pos,...))) pack is deterministic
+    (struct compare leads with pos) and keeps the whole train step
+    ONE plan — no driver round-trip."""
+    xi = quantize_vec(F.col(vec_col), scale)
+    dims = corpus.select(F.posexplode(xi).alias("pos", "x"))
+    stats = dims.groupBy("pos").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    packed = stats.groupBy().agg(
+        F.array_sort(
+            F.collect_list(F.struct("pos", "mn", "mx"))
+        ).alias("s")
+    )
+    return packed.select(
+        F.transform("s", lambda t: t.getField("mn")).alias("mns"),
+        F.transform("s", lambda t: t.getField("mx")).alias("mxs"),
+    )
+
+
+def _sq8_recon(xi: Column, mns: Column, mxs: Column) -> Column:
+    """Quantize-then-reconstruct each component against per-dim
+    [mn, mx]: code = floor((x-mn)*255/max(1,mx-mn)) in 0..255, recon
+    = mn + floor(code*(mx-mn)/255).  Integer-exact: every
+    intermediate is a small integer inside an exactly-representable
+    double, so Spark and DuckDB agree bit-for-bit."""
+    def recon(x: Column, i: Column) -> Column:
+        mn = F.element_at(mns, i + 1)
+        mx = F.element_at(mxs, i + 1)
+        rng = F.greatest(F.lit(1).cast("long"), mx - mn)
+        code = F.floor((x - mn) * 255 / rng)
+        return (mn + F.floor(code * (mx - mn) / 255)).cast("long")
+
+    return F.transform(xi, recon)
+
+
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1000,
+) -> DataFrame:
+    """Asymmetric SQ8 search: corpus vectors are scored through their
+    8-bit reconstruction, queries stay full-precision (the asymmetric
+    distance computation that keeps most of the recall).  Returns
+    (query_id, neighbor_id, score, rank), top-k per query by
+    reconstructed dot product, ties by neighbor_id.
+
+    Scale shape: stats (1 row) and the query batch are explicitly
+    broadcast, so the corpus scan is map-side only — code+recon+dot
+    all in one codegen stage, no corpus shuffle; the only wide op is
+    the per-query top-k window over nq x corpus candidate rows, the
+    same shape every ANN entry here carries."""
+    from pyspark.sql import Window
+
+    stats = sq8_train_stats(corpus, vec_col, scale)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        quantize_vec(F.col(vec_col), scale).alias("qv"),
+    )
+    cand = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        quantize_vec(F.col(vec_col), scale).alias("xi"),
+    ).crossJoin(F.broadcast(stats))
+    cand = cand.select(
+        "neighbor_id", _sq8_recon(F.col("xi"), F.col("mns"), F.col("mxs")).alias("rv")
+    )
+    scored = (
+        cand.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            int_dot_sim(F.col("rv"), F.col("qv")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return scored.select(
+        "query_id", "neighbor_id", "score",
+        F.row_number().over(w).cast("long").alias("rank"),
+    ).where(F.col("rank") <= k)
+
+
+def knn_label_vote(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    scale: int = 1000,
+) -> DataFrame:
+    """kNN majority-vote classification over the embedding space: for
+    each query, take the k highest integer-dot neighbors (ties by
+    id), vote on their labels (ties by smaller label).  The
+    label-propagation primitive a training-data pipeline uses to
+    extend a small labeled seed set over an unlabeled corpus
+    (quality/domain tagging) — hetman itself has no labels; this is
+    the SURVEY §2 extension surface for classifier-based filtering.
+
+    Returns (query_id, true_label, predicted_label, votes, match).
+
+    Scale shape: query batch broadcast, corpus scan map-side, one
+    window per query for the top-k cut, one tiny groupBy(query,label)
+    partial-agg for the vote.  At 100 TB with a large query set the
+    crossJoin becomes a blocked matrix multiply (cosine_topk_pandas);
+    the vote/aggregation shape is unchanged."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).cast("long").alias("true_label"),
+        quantize_vec(F.col(vec_col), scale).alias("qv"),
+    )
+    cand = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).cast("long").alias("nb_label"),
+        quantize_vec(F.col(vec_col), scale).alias("xi"),
+    )
+    scored = (
+        cand.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "true_label", "neighbor_id", "nb_label",
+            int_dot_sim(F.col("xi"), F.col("qv")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    top = scored.select(
+        "query_id", "true_label", "nb_label",
+        F.row_number().over(w).alias("rn"),
+    ).where(F.col("rn") <= k)
+    votes = top.groupBy("query_id", "true_label", "nb_label").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("nb_label")
+    )
+    return (
+        votes.select(
+            "query_id", "true_label",
+            F.col("nb_label").alias("predicted_label"),
+            "votes",
+            F.row_number().over(wv).alias("vrn"),
+        )
+        .where(F.col("vrn") == 1)
+        .select(
+            "query_id", "true_label", "predicted_label", "votes",
+            (F.col("predicted_label") == F.col("true_label"))
+            .cast("long").alias("match"),
+        )
+    )
