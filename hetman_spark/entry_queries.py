@@ -3199,6 +3199,101 @@ FROM (
 """
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet line-level dedup (dedup.line_dedup — Wenzek et al. 2020)
+    over the same derived multi-line corpus as c4_line_filter: drop
+    every line whose normalized hash occurred earlier in the corpus
+    (first occurrence by (doc_id, idx) survives) — the boilerplate
+    pass doc-level dedup can't see."""
+    from hetman_spark.functions.dedup import line_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    lined = F.replace(F.col("text"), F.lit(" data "), F.lit(".\n"))
+    lined = F.replace(lined, F.lit(" value "), F.lit("!\n"))
+    lined = F.replace(lined, F.lit(" query "), F.lit("?\n"))
+    return line_dedup(d.select("doc_id", lined.alias("text")))
+
+
+SQL_LINE_DEDUP = """
+WITH lined AS (
+  SELECT doc_id,
+         string_split(replace(replace(replace(text,
+           ' data ', '.' || chr(10)),
+           ' value ', '!' || chr(10)),
+           ' query ', '?' || chr(10)), chr(10)) AS ls
+  FROM documents
+), lines AS (
+  SELECT doc_id, ls[t.i + 1] AS line, t.i AS idx
+  FROM lined CROSS JOIN LATERAL (SELECT CAST(unnest(range(len(ls))) AS BIGINT) AS i) t
+  WHERE trim(ls[t.i + 1]) != ''
+), flagged AS (
+  SELECT doc_id, idx, line,
+         row_number() OVER (PARTITION BY md5(trim(lower(line)))
+                            ORDER BY doc_id, idx) = 1 AS keep
+  FROM lines
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY idx),
+                '') AS clean_text
+FROM flagged
+GROUP BY doc_id
+"""
+
+
+_FNG_N, _FNG_MIN_DF = 3, 4
+
+
+def q_frequent_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequent n-gram mining — the boilerplate/template
+    detector (the table a line- or span-dedup pass consults, and the
+    "most common 3-grams" diagnostic of every corpus audit): every
+    word 3-gram present in >= 4 distinct documents, with document
+    frequency and total term frequency.
+
+    Scale shape: one per-row gram expansion inside scan codegen
+    (sequence + slice + concat_ws — no UDF), one (gram, doc_id)
+    pre-distinct partial-agg, one groupBy(gram) rollup, filter on df
+    — no sort, no driver state; output is the (tiny) high-df tail.
+    At 100 TB the df >= threshold filter is exactly what keeps the
+    result broadcastable back as a cleaning rule table."""
+    from hetman_spark.functions.text import word_ngrams
+
+    d = _t(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        F.explode(word_ngrams(F.col("text"), _FNG_N)).alias("g"),
+    )
+    per_doc = grams.groupBy("g", "doc_id").agg(F.count(F.lit(1)).alias("tf_doc"))
+    return (
+        per_doc.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf_doc").alias("tf"),
+        )
+        .where(F.col("df") >= _FNG_MIN_DF)
+        .select(F.col("g").alias("gram"), "df", "tf")
+    )
+
+
+SQL_FREQUENT_NGRAMS = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), grams AS (
+  SELECT doc_id, ws[t.i] || ' ' || ws[t.i + 1] || ' ' || ws[t.i + 2] AS g
+  FROM toks CROSS JOIN LATERAL
+       (SELECT CAST(unnest(range(1, len(ws) - {_FNG_N - 2})) AS BIGINT) AS i) t
+)
+SELECT g AS gram,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS tf
+FROM grams
+GROUP BY g
+HAVING count(DISTINCT doc_id) >= {_FNG_MIN_DF}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Multimodal feature extraction — the stub decoders are deterministic
 # integer arithmetic over md5-derived payload bytes, so DuckDB can
@@ -3878,6 +3973,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivfpq_topk": q_ivfpq_topk,
     "sq8_topk": q_sq8_topk,
     "knn_label_vote": q_knn_label_vote,
+    "line_dedup": q_line_dedup,
+    "frequent_ngrams": q_frequent_ngrams,
     "multimodal_features": q_multimodal_features,
 }
 
@@ -3949,5 +4046,7 @@ ORACLES: dict[str, str] = {
     "ivfpq_topk": SQL_IVFPQ_TOPK,
     "sq8_topk": SQL_SQ8_TOPK,
     "knn_label_vote": SQL_KNN_LABEL_VOTE,
+    "line_dedup": SQL_LINE_DEDUP,
+    "frequent_ngrams": SQL_FREQUENT_NGRAMS,
     "multimodal_features": SQL_MULTIMODAL,
 }

@@ -637,3 +637,63 @@ def embedding_neardup_candidates(
         .where(F.col("l.id") < F.col("r.id"))
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
     )
+
+
+def line_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_sep: str = "\n",
+) -> DataFrame:
+    """CCNet/MassiveText line-level deduplication (Wenzek et al. 2020
+    §3.1; Rae et al. 2021 used the same pass to strip boilerplate):
+    every line whose NORMALIZED hash (md5 of trim+lowercase) already
+    occurred earlier in the corpus — ordered by (doc_id, line index)
+    — is dropped; the first occurrence stays.  This is the pass that
+    removes headers, cookie banners and nav text that exact
+    doc-level dedup can't see (the dup is a LINE inside otherwise
+    unique pages).
+
+    Returns (doc_id, n_lines, n_kept, clean_text): non-empty line
+    counts, kept-line count, and the document re-joined from its
+    surviving lines in original order.
+
+    Scale shape: one explode to (doc_id, idx, line_hash) rows, ONE
+    hash-partitioned window (partitionBy line_hash — tiny groups, no
+    global sort) to pick each hash's first occurrence, one
+    groupBy(doc_id) partial-agg to re-assemble.  The text shuffles
+    once, keyed by line hash; at 100 TB the same plan holds — the
+    window's per-hash group is the line's occurrence list, bounded by
+    the corpus's duplication factor (skewed boilerplate hashes are
+    exactly the rows the pass deletes, and a count-cap salts them if
+    one line dominates: drop any line with n_occ > cap outright, no
+    order needed)."""
+    from pyspark.sql import Window
+
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), line_sep)).alias("idx", "line"),
+    ).where(F.trim(F.col("line")) != "")
+    hashed = lines.select(
+        id_col, "idx", "line",
+        F.md5(F.trim(F.lower(F.col("line")))).alias("lh"),
+    )
+    w = Window.partitionBy("lh").orderBy(id_col, "idx")
+    flagged = hashed.select(
+        id_col, "idx", "line",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+    kept_struct = F.when(
+        F.col("keep"), F.struct(F.col("idx"), F.col("line"))
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s.getField("line"),
+            ),
+            line_sep,
+        ).alias("clean_text"),
+    )

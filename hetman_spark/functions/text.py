@@ -242,3 +242,17 @@ def nfc_normalize_udf():
         )
 
     return nfc
+
+
+def word_ngrams(text: Column, n: int = 3, sep: str = " ") -> Column:
+    """Array of word n-grams of `text` (split on `sep`), empty for
+    docs shorter than n words.  Pure Catalyst (sequence + slice +
+    concat_ws — runs inside scan codegen); the guard matters because
+    Spark's sequence(1, stop) DESCENDS when stop < 1 (default step
+    -1) instead of returning empty."""
+    ws = F.split(text, sep)
+    idxs = F.when(
+        F.size(ws) >= n,
+        F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(idxs, lambda i: F.concat_ws(sep, F.slice(ws, i, n)))

@@ -956,3 +956,60 @@ def test_knn_label_vote_tie_breaks_to_smaller_label(spark):
     assert len(out) == 1
     assert out[0]["predicted_label"] == 3 and out[0]["votes"] == 1
     assert out[0]["match"] == 0
+
+
+def test_line_dedup_first_occurrence_survives(spark):
+    """CCNet line dedup: the shared boilerplate line survives only in
+    the (doc_id, idx)-first document; normalization (case + edge
+    whitespace) collapses variants; kept lines stay in original
+    order; counts reconcile."""
+    from hetman_spark.functions.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique alpha line\nAccept Cookies\nunique beta line"),
+            (2, "  accept cookies  \nanother unique line"),
+            (3, "third doc only line\naccept cookies"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+    assert out[1]["n_lines"] == 3 and out[1]["n_kept"] == 3
+    assert out[1]["clean_text"] == "unique alpha line\nAccept Cookies\nunique beta line"
+    # docs 2 and 3 lose their normalized-duplicate banner line
+    assert out[2]["n_lines"] == 2 and out[2]["n_kept"] == 1
+    assert out[2]["clean_text"] == "another unique line"
+    assert out[3]["n_lines"] == 2 and out[3]["n_kept"] == 1
+    assert out[3]["clean_text"] == "third doc only line"
+
+
+def test_line_dedup_all_lines_dropped_doc_remains(spark):
+    """A doc made ENTIRELY of already-seen lines stays in the output
+    with n_kept=0 and empty clean_text — rows are never silently
+    dropped (P6 convention)."""
+    from hetman_spark.functions.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "same line\nother line"), (2, "same line"), (3, "other line\nsame line")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[2]["n_kept"] == 0 and out[2]["clean_text"] == ""
+    assert out[3]["n_kept"] == 0 and out[3]["clean_text"] == ""
+
+
+def test_word_ngrams_short_doc_guard(spark):
+    """Docs shorter than n words yield an EMPTY gram array — pinning
+    the sequence(1, stop<1)-descends gotcha the guard exists for."""
+    from hetman_spark.functions.text import word_ngrams
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b"), (3, "a")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r["g"]
+        for r in df.select("doc_id", word_ngrams(F.col("text"), 3).alias("g")).collect()
+    }
+    assert out[1] == ["a b c", "b c d"]
+    assert out[2] == [] and out[3] == []
