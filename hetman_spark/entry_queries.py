@@ -3902,6 +3902,156 @@ SELECT sink_id, count(*) AS n FROM (
 
 
 # ---------------------------------------------------------------------------
+# PII detection + masking (text.pii_redact).  The documents fixture is
+# digit-free word salad, so the entry injects synthetic PII
+# deterministically by doc_id (the c4_line_filter derivation pattern —
+# byte-identical construction on both engines); a doc can carry all
+# three kinds at once (doc_id 0 does).
+# ---------------------------------------------------------------------------
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over a derived corpus: doc_id%7 docs get an email,
+    %11 a ddd-ddd-dddd phone, %13 a dotted-quad IP appended; the
+    operator counts and masks all three.  Output: per-doc counts +
+    the masked text."""
+    from hetman_spark.functions.text import pii_redact
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    seeded = F.concat(
+        F.col("text"),
+        F.when(
+            did % 7 == 0,
+            F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com now")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 11 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((did % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad(((did * 37) % 10000).cast("string"), 4, "0"),
+                F.lit(" today"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 13 == 0,
+            F.concat(
+                F.lit(" from 10."),
+                (did % 256).cast("string"),
+                F.lit("."),
+                ((did * 7) % 256).cast("string"),
+                F.lit("."),
+                ((did * 13) % 256).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    s = pii_redact(seeded)
+    return d.select(
+        "doc_id",
+        s.getField("n_emails").alias("n_emails"),
+        s.getField("n_phones").alias("n_phones"),
+        s.getField("n_ips").alias("n_ips"),
+        s.getField("masked").alias("masked"),
+    )
+
+
+SQL_PII_REDACT = r"""
+WITH seeded AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+            ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+            THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                 || '-' || lpad(CAST((doc_id * 37) % 10000 AS VARCHAR), 4, '0')
+                 || ' today'
+            ELSE '' END
+    || CASE WHEN doc_id % 13 = 0
+            THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                 || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                 || '.' || CAST((doc_id * 13) % 256 AS VARCHAR)
+            ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t,
+         '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(t,
+         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS masked
+FROM seeded
+"""
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (text.bpe_merge_steps) — the oracle replays
+# the one-plan unrolled training as CTE chains: word-frequency table,
+# per-iteration pair counts, argmax pair, two-pass replace merge.
+# ---------------------------------------------------------------------------
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 3 BPE merge steps trained on the documents corpus:
+    (merge_idx, pair, merged, pair_count) per iteration."""
+    from hetman_spark.functions.text import bpe_merge_steps
+
+    return bpe_merge_steps(_t(spark, sf_dir, "documents"), n_merges=3)
+
+
+def _sql_bpe_merges(n_merges: int = 3) -> str:
+    """Unrolled-CTE DuckDB twin of bpe_merge_steps: w{i} is the
+    space-delimited symbol table after i merges, p{i}/m{i} the pair
+    counts / argmax of iteration i.  The two-pass replace is the SAME
+    definition the Spark side pins (non-overlapping left-to-right
+    per pass), so the merge application is engine-identical."""
+    parts = [
+        r"""
+WITH words AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(string_split_regex(text, ' +')) AS w FROM documents
+  ) WHERE len(w) > 0 GROUP BY w
+), w0 AS (
+  SELECT ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS delim, freq FROM words
+)"""
+    ]
+    for i in range(1, n_merges + 1):
+        prev = f"w{i - 1}"
+        parts.append(
+            f""", p{i} AS (
+  SELECT pr, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+    SELECT toks[g.i] || ' ' || toks[g.i + 1] AS pr, freq
+    FROM (SELECT string_split(trim(delim), ' ') AS toks, freq FROM {prev}) t,
+         LATERAL (SELECT CAST(unnest(generate_series(1, len(toks) - 1)) AS BIGINT) AS i) g
+  ) GROUP BY pr
+), m{i} AS (SELECT pr, cnt FROM p{i} ORDER BY cnt DESC, pr LIMIT 1)"""
+        )
+        if i < n_merges:
+            parts.append(
+                f""", w{i} AS (
+  SELECT replace(replace(delim,
+           ' ' || pr || ' ', ' ' || replace(pr, ' ', '') || ' '),
+           ' ' || pr || ' ', ' ' || replace(pr, ' ', '') || ' ') AS delim, freq
+  FROM {prev}, m{i}
+)"""
+            )
+    selects = [
+        f"SELECT CAST({i} AS INT) AS merge_idx, pr AS pair,"
+        f" replace(pr, ' ', '') AS merged, cnt AS pair_count FROM m{i}"
+        for i in range(1, n_merges + 1)
+    ]
+    return "".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -3975,6 +4125,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_label_vote": q_knn_label_vote,
     "line_dedup": q_line_dedup,
     "frequent_ngrams": q_frequent_ngrams,
+    "pii_redact": q_pii_redact,
+    "bpe_merges": q_bpe_merges,
     "multimodal_features": q_multimodal_features,
 }
 
@@ -4048,5 +4200,7 @@ ORACLES: dict[str, str] = {
     "knn_label_vote": SQL_KNN_LABEL_VOTE,
     "line_dedup": SQL_LINE_DEDUP,
     "frequent_ngrams": SQL_FREQUENT_NGRAMS,
+    "pii_redact": SQL_PII_REDACT,
+    "bpe_merges": _sql_bpe_merges(),
     "multimodal_features": SQL_MULTIMODAL,
 }

@@ -244,6 +244,151 @@ def nfc_normalize_udf():
     return nfc
 
 
+def pii_redact(text: Column) -> Column:
+    """PII detection + masking (the BigScience/ROOTS-style scrub every
+    public web corpus runs before release): emails, North-American
+    phone numbers (ddd-ddd-dddd) and dotted-quad IPs are counted and
+    replaced with <EMAIL>/<PHONE>/<IP> placeholders.
+
+    No reference analog (the reference redacts via user-configured
+    regexps, internal/workflow/modifier.go replace_fields — this is
+    the fixed, named-entity version of that stage for corpus prep).
+
+    Pure codegen regexps (regexp_extract_all + regexp_replace), no
+    lookaround so the patterns mean the same thing under Java regex
+    and RE2/DuckDB — at 100 TB this runs inside the scan stage.
+    Replace order matters: emails first (an email never contains a
+    dotted quad, but masking IP/phone first could split an address).
+
+    Returns struct<n_emails, n_phones, n_ips, masked>.
+    """
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\b\d{3}-\d{3}-\d{4}\b"
+    ip = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+    n_emails = F.size(F.regexp_extract_all(text, F.lit(email), F.lit(0))).cast("long")
+    n_phones = F.size(F.regexp_extract_all(text, F.lit(phone), F.lit(0))).cast("long")
+    n_ips = F.size(F.regexp_extract_all(text, F.lit(ip), F.lit(0))).cast("long")
+    masked = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(text, email, "<EMAIL>"),
+            phone,
+            "<PHONE>",
+        ),
+        ip,
+        "<IP>",
+    )
+    return F.struct(
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        n_ips.alias("n_ips"),
+        masked.alias("masked"),
+    )
+
+
+def bpe_merge_steps(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 3,
+) -> DataFrame:
+    """Distributed BPE tokenizer training, first `n_merges` merge steps
+    (Sennrich et al. 2016 — the algorithm behind GPT-2/RoBERTa vocab
+    construction).  Returns one row per merge:
+    (merge_idx, pair, merged, pair_count).
+
+    The classic decomposition: BPE never touches the corpus after one
+    pass — it trains on the WORD-FREQUENCY table (vocabulary-sized,
+    orders of magnitude smaller than the corpus).  Per iteration:
+
+      1. adjacent-symbol-pair counts, freq-weighted — ONE partial-agg
+         shuffle keyed by pair (map-side combine does the heavy
+         lifting: the distinct-pair universe is tiny);
+      2. the argmax pair — orderBy+limit(1) (TakeOrdered, map-side
+         top-1 per partition, no global sort materialized);
+      3. the merge applied map-side: the top pair rides a broadcast
+         1-row cross join (no driver collect — the whole n_merges
+         training is ONE plan, which is what lets the DuckDB oracle
+         replay it as unrolled CTEs).
+
+    Merge application is TWO passes of non-overlapping left-to-right
+    literal replace of " a b " -> " ab " over the space-delimited
+    symbol string (pass 1 can consume the shared delimiter between
+    back-to-back occurrences; pass 2 catches the stragglers — pinned
+    in tests).  For a≠b this is exactly greedy BPE; for a self-pair
+    (a==b) inside an odd run of ≥5 repeats the PAIRING may differ
+    from priority-queue BPE by the placement of the final pair (both
+    engines implement the identical two-pass definition, so the
+    oracle is still exact; pair COUNTS — the training signal — are
+    computed exactly either way).
+
+    At 100 TB: the corpus pass is the word-frequency groupBy (shuffles
+    (word, count) only); every iteration after that runs on the vocab
+    table.  Production would persist the vocab table and materialize
+    each iteration instead of unrolling the plan — unrolling is the
+    oracle-comparable form (same trade as kmeans_clusters).
+
+    No reference analog (the reference ships logs); this is the
+    tokenizer-training stage of the LLM-pipeline brief.
+    """
+    words = (
+        docs.select(F.explode(F.split(F.col(text_col), " +")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # " c1 c2 ... cn " — spaces delimit symbols; merges concatenate.
+    cur = words.select(
+        F.concat(F.lit(" "), F.regexp_replace(F.col("w"), "(.)", "$1 ")).alias("delim"),
+        "freq",
+    )
+
+    def _pair_concat(a: Column, b: Column) -> Column:
+        return F.concat(a, F.lit(" "), b)
+
+    steps = []
+    for i in range(1, n_merges + 1):
+        toks = F.split(F.trim(F.col("delim")), " ")
+        pairs = F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            _pair_concat,
+        )
+        counts = (
+            cur.select(F.explode(pairs).alias("pair"), "freq")
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("pair_count"))
+        )
+        top = counts.orderBy(F.col("pair_count").desc(), F.col("pair")).limit(1)
+        steps.append(
+            top.select(
+                F.lit(i).cast("int").alias("merge_idx"),
+                F.col("pair"),
+                F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias("merged"),
+                F.col("pair_count"),
+            )
+        )
+        if i < n_merges:
+            best = top.select(
+                F.concat(F.lit(" "), F.col("pair"), F.lit(" ")).alias("_src"),
+                F.concat(
+                    F.lit(" "),
+                    F.replace(F.col("pair"), F.lit(" "), F.lit("")),
+                    F.lit(" "),
+                ).alias("_dst"),
+            )
+            cur = cur.crossJoin(F.broadcast(best)).select(
+                F.replace(
+                    F.replace(F.col("delim"), F.col("_src"), F.col("_dst")),
+                    F.col("_src"),
+                    F.col("_dst"),
+                ).alias("delim"),
+                "freq",
+            )
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionByName(s)
+    return out
+
+
 def word_ngrams(text: Column, n: int = 3, sep: str = " ") -> Column:
     """Array of word n-grams of `text` (split on `sep`), empty for
     docs shorter than n words.  Pure Catalyst (sequence + slice +

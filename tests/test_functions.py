@@ -1013,3 +1013,76 @@ def test_word_ngrams_short_doc_guard(spark):
     }
     assert out[1] == ["a b c", "b c d"]
     assert out[2] == [] and out[3] == []
+
+
+def test_pii_redact_counts_and_masks(spark):
+    """Each PII kind is counted and masked; replace order keeps an
+    email intact (its digits must not be half-eaten by the IP/phone
+    patterns); clean text passes through untouched."""
+    from hetman_spark.functions.text import pii_redact
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@sub.example.co.uk and 10.0.0.1 now"),
+            (2, "call 555-013-4477 or 555-013-4478"),
+            (3, "no pii here at all"),
+            (4, "v4 addr 192.168.255.3 then user9@example.com"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in df.select("doc_id", pii_redact(F.col("text")).alias("p"))
+        .select("doc_id", "p.*")
+        .collect()
+    }
+    assert (out[1]["n_emails"], out[1]["n_ips"]) == (1, 1)
+    assert out[1]["masked"] == "mail <EMAIL> and <IP> now"
+    assert out[2]["n_phones"] == 2
+    assert out[2]["masked"] == "call <PHONE> or <PHONE>"
+    assert (out[3]["n_emails"], out[3]["n_phones"], out[3]["n_ips"]) == (0, 0, 0)
+    assert out[3]["masked"] == "no pii here at all"
+    assert out[4]["masked"] == "v4 addr <IP> then <EMAIL>"
+
+
+def test_bpe_merge_steps_trains_expected_pairs(spark):
+    """Hand-checkable corpus: 'low' x5 + 'lower' x2 + 'lowest' x2
+    (the Sennrich et al. running example shape).  Pair counts:
+    (l,o)=9, (o,w)=9 -> tie broken lexicographically to 'l o' first;
+    merge 2 then pairs 'lo w'=9; merge 3 'low e'=4 ties ('e r'=2,
+    'e s'=2 lower)."""
+    from hetman_spark.functions.text import bpe_merge_steps
+
+    corpus = " ".join(["low"] * 5 + ["lower"] * 2 + ["lowest"] * 2)
+    df = spark.createDataFrame([(1, corpus)], "doc_id long, text string")
+    rows = bpe_merge_steps(df, n_merges=3).orderBy("merge_idx").collect()
+    assert [(r["merge_idx"], r["pair"], r["merged"], r["pair_count"]) for r in rows] == [
+        (1, "l o", "lo", 9),
+        (2, "lo w", "low", 9),
+        (3, "low e", "lowe", 4),
+    ]
+
+
+def test_bpe_merge_two_pass_replace_semantics(spark):
+    """Pin the merge-application definition on the edge cases: back-
+    to-back occurrences sharing a delimiter all merge (two passes);
+    an odd run >=5 of a SELF-pair pairs as (1,2),(4,5) — documented
+    deviation from priority-queue BPE's (1,2),(3,4), identical on
+    both engines by construction."""
+    from hetman_spark.functions.text import bpe_merge_steps
+
+    # 'ababab' -> pair (a,b) x3 dominates; all three must merge, so
+    # iteration 2's top pair is ('ab','ab').
+    df = spark.createDataFrame([(1, "ababab ababab")], "doc_id long, text string")
+    rows = bpe_merge_steps(df, n_merges=2).orderBy("merge_idx").collect()
+    assert (rows[0]["pair"], rows[0]["pair_count"]) == ("a b", 6)
+    assert (rows[1]["pair"], rows[1]["merged"]) == ("ab ab", "abab")
+
+    # self-pair odd run: 'aaaaa' x1 -> merge 1 is (a,a) count 4; the
+    # two-pass pairing leaves the MIDDLE 'a' single ('aa a aa'), so
+    # iteration 2 sees pair ('aa','a')=1 and ('a','aa')=1 — the tie
+    # breaks lexicographically to 'a aa'.
+    df2 = spark.createDataFrame([(1, "aaaaa")], "doc_id long, text string")
+    rows2 = bpe_merge_steps(df2, n_merges=2).orderBy("merge_idx").collect()
+    assert (rows2[0]["pair"], rows2[0]["pair_count"]) == ("a a", 4)
+    assert rows2[1]["pair"] == "a aa"
