@@ -57,6 +57,20 @@ def time_queries(sf_dir: str, cpus: str) -> dict[str, float]:
     return out
 
 
+def _steal_jiffies() -> int | None:
+    """Machine-wide hypervisor steal time (field 8 of /proc/stat's cpu
+    line, USER_HZ jiffies).  This is a shared VM: a neighbor's burst
+    shows up as stolen cycles that inflate a pinned rep by up to ~2x
+    (measured), indistinguishable from a plan regression unless
+    recorded.  Per-rep deltas land in the JSON next to rep_secs."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return int(parts[8])
+    except (OSError, IndexError, ValueError):
+        return None
+
+
 def _wait_quiet(max_wait: float = 60.0) -> bool:
     """Refuse to measure next to a stray JVM: leftover executors from a
     crashed run inflate one side of the A/B by up to 30% (BENCH.md
@@ -139,6 +153,7 @@ def scaling_runs(rows: int) -> dict:
         ]
     best: dict[str, dict] = {}
     rep_secs: dict[str, list] = {label: [] for label, _, _, _ in configs}
+    steal: dict[str, list] = {label: [] for label, _, _, _ in configs}
     quiet_ok = True
 
     def run_one(master: str, cpuset: str, extra: list[str]) -> dict:
@@ -163,22 +178,25 @@ def scaling_runs(rows: int) -> dict:
         rounds = 0
         while rounds < reps or (
             rounds < max_reps
-            and any(
-                spread(lbl) > 1.25
-                for lbl, _, _, _ in configs
-                if not lbl.endswith("_noop")
-            )
+            and any(spread(lbl) > 1.25 for lbl, _, _, _ in configs)
         ):
             # one interleaved round: an ambient burst hits every
             # config of the round, not one side of a ratio.  The noop
-            # (compute-path) pair runs only in the first two rounds —
-            # it is supporting evidence, not the headline, and each
-            # extra round costs ~1.5 min of wall clock.
+            # (compute-path) pair runs in the first two rounds and
+            # then only while ITS OWN spread exceeds the guard —
+            # supporting evidence, not the headline, but a hypervisor
+            # steal burst (this is a shared VM; /proc/stat steal
+            # bursts measured at 2x rep inflation) must not own the
+            # compute ratio just because it landed in round 0-1.
             for label, master, cpuset, extra in configs:
-                if label.endswith("_noop") and rounds >= 2:
+                if label.endswith("_noop") and rounds >= 2 and spread(label) <= 1.25:
                     continue
                 quiet_ok = _wait_quiet() and quiet_ok
+                st0 = _steal_jiffies()
                 d = run_one(master, cpuset, extra)
+                steal[label].append(
+                    None if st0 is None else _steal_jiffies() - st0
+                )
                 rep_secs[label].append(d.get("sec", None))
                 if "sec" in d and ("sec" not in best.get(label, {}) or d["sec"] < best[label]["sec"]):
                     best[label] = d
@@ -190,6 +208,10 @@ def scaling_runs(rows: int) -> dict:
 
     results: dict = dict(best)
     results["rep_secs"] = rep_secs
+    # hypervisor steal jiffies burned machine-wide during each rep
+    # (1 jiffy = 10ms of a stolen CPU): correlates a slow rep with
+    # host-side contention the quiet-JVM guard cannot see
+    results["rep_steal_jiffies"] = steal
     results["quiet"] = quiet_ok
 
     def eff(lo: str, hi: str) -> float | None:

@@ -429,6 +429,22 @@ def main(argv: list[str] | None = None) -> int:
             .agg(F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).alias("r"))
             .collect()[0]["r"]
         )
+        # PII exposure summary (text.pii_redact): total hits per kind
+        # plus how many docs carry any — the release-gate number a
+        # corpus audit leads with.  One map-side pass, one tiny agg.
+        from hetman_spark.functions.text import pii_redact
+
+        p = pii_redact(F.col("text"))
+        pii = docs.select(
+            p.getField("n_emails").alias("e"),
+            p.getField("n_phones").alias("p"),
+            p.getField("n_ips").alias("i"),
+        ).agg(
+            F.sum("e").alias("emails"),
+            F.sum("p").alias("phones"),
+            F.sum("i").alias("ips"),
+            F.count_if((F.col("e") + F.col("p") + F.col("i")) > 0).alias("docs"),
+        ).collect()[0]
         print(json.dumps({
             "cmd": "analyze",
             "n_docs": summary["n_docs"],
@@ -443,6 +459,12 @@ def main(argv: list[str] | None = None) -> int:
             "minhash_candidate_pairs": near_pairs,
             "neardup_clusters": cstats["n_clusters"],
             "neardup_cluster_removable": cstats["removable"],
+            "pii": {
+                "emails": pii["emails"],
+                "phones": pii["phones"],
+                "ips": pii["ips"],
+                "docs_with_pii": pii["docs"],
+            },
             "sec": round(time.time() - t0, 2),
         }))
         return 0

@@ -3326,18 +3326,22 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_pq_parts(m_sub: int, ks: int, iters: int, dim: int) -> list[str]:
+def _sql_pq_parts(
+    m_sub: int, ks: int, iters: int, dim: int, src: str = "q"
+) -> list[str]:
     """Per-subspace PQ training/encoding CTE chains (the
     _sql_kmeans_parts recipe parameterized by subspace): qs{m}
     subvector projections, c{m}_{i} centroid iterations, code{m}
-    final encodings.  Expects a CTE `q(vec_id, qv)` upstream."""
+    final encodings.  Expects a CTE `{src}(vec_id, qv)` upstream
+    (src='rq' trains on the residual table for the by_residual
+    variant)."""
     ds = dim // m_sub
     dist = _sql_kmeans_dist(ds)
     parts: list[str] = []
     for m in range(m_sub):
         lo, hi = m * ds + 1, (m + 1) * ds
         parts.append(
-            f"qs{m} AS (SELECT vec_id, qv[{lo}:{hi}] AS qv FROM q)"
+            f"qs{m} AS (SELECT vec_id, qv[{lo}:{hi}] AS qv FROM {src})"
         )
         parts.append(f"""c{m}_0 AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS ci, qv AS cent
@@ -3506,6 +3510,129 @@ WHERE rank <= {topk}
 
 
 SQL_IVFPQ_TOPK = _sql_ivfpq(
+    _KM_K, _KM_ITERS, _KM_DIM, _PQ_M, _PQ_KS, _PQ_ITERS,
+    _IVT_NPROBE, _IVT_NQ, _IVT_TOPK
+)
+
+
+# Memoized RESIDUAL-trained PQ codebooks (by_residual IVFADC): a pure
+# function of (sf_dir, coarse-centroid params, PQ params) — the
+# residual table is itself deterministic given the memoized centroids.
+_PQR_CB_CACHE: dict[tuple, list[list[list[int]]]] = {}
+
+
+def _trained_residual_codebooks(spark: SparkSession, sf_dir: str):
+    key = (sf_dir, _KM_K, _KM_ITERS, _PQ_M, _PQ_KS, _PQ_ITERS, _KM_DIM)
+    if key not in _PQR_CB_CACHE:
+        from hetman_spark.functions.similarity import (
+            pq_train_codebooks,
+            residual_projection,
+        )
+
+        e = _tp(spark, sf_dir, "embeddings")
+        resid = residual_projection(e, _trained_centroids(spark, sf_dir))
+        _, cb = pq_train_codebooks(
+            resid.select("vec_id", F.col("rv").alias("qv")),
+            m_sub=_PQ_M, ks=_PQ_KS, iters=_PQ_ITERS,
+            vec_col="qv", id_col="vec_id", dim=_KM_DIM, quantized=True,
+        )
+        _PQR_CB_CACHE[key] = cb
+    return _PQR_CB_CACHE[key]
+
+
+def q_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-encoded IVFADC (similarity.ivfpq_topk_residual — the
+    FAISS IndexIVFPQ DEFAULT, by_residual=True): PQ codebooks trained
+    on within-cell residuals, query distance tables built per
+    (query, probed cell).  Same coarse centroids as ivfpq_topk, so
+    the two entries differ exactly by the residual step."""
+    from hetman_spark.functions.similarity import ivfpq_topk_residual
+
+    e = _tp(spark, sf_dir, "embeddings")
+    queries = e.orderBy("vec_id").limit(_IVT_NQ)
+    return ivfpq_topk_residual(
+        e, queries, k=_IVT_TOPK, n_cells=_KM_K, km_iters=_KM_ITERS,
+        nprobe=_IVT_NPROBE, m_sub=_PQ_M, ks=_PQ_KS, pq_iters=_PQ_ITERS,
+        dim=_KM_DIM,
+        centroids=_trained_centroids(spark, sf_dir),
+        codebooks=_trained_residual_codebooks(spark, sf_dir),
+    )
+
+
+def _sql_ivfpq_residual(k_cells: int, km_iters: int, dim: int, m_sub: int,
+                        ks: int, pq_iters: int, nprobe: int, nq: int,
+                        topk: int) -> str:
+    """DuckDB twin of ivfpq_topk_residual: the kmeans chain feeds a
+    cell assignment `asn`, the residual table `rq` feeds the
+    per-subspace PQ training CTEs (src='rq'), and each query's ADC
+    contribution joins its PER-PROBED-CELL residual subvectors
+    (rqs{m}) to the candidate's residual-codebook centroid."""
+    dist = _sql_kmeans_dist(dim)
+    ds = dim // m_sub
+    parts = _sql_kmeans_parts(k_cells, km_iters, dim)
+    # AS MATERIALIZED on the chain-top CTEs: rq is referenced by all
+    # m_sub subspace training chains — DuckDB's default CTE inlining
+    # would replicate the whole kmeans chain into each of them
+    # (measured: the un-hinted query ran >5 min; materialized it runs
+    # in seconds).  Same for asn (cells) and qres (per-probe residual).
+    parts.append(f"""asn AS MATERIALIZED (
+  SELECT vec_id, qv, ci AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, ci) AS rn
+    FROM (SELECT q.vec_id, q.qv, c.ci, {dist} AS d FROM q CROSS JOIN c{km_iters} c))
+  WHERE rn = 1)""")
+    parts.append(f"""rq AS MATERIALIZED (
+  SELECT a.vec_id,
+         list_transform(range({dim}), j -> a.qv[j + 1] - c.cent[j + 1]) AS qv,
+         a.cell
+  FROM asn a JOIN c{km_iters} c ON c.ci = a.cell)""")
+    parts += _sql_pq_parts(m_sub, ks, pq_iters, dim, src="rq")
+    parts.append(f"""qsel AS (
+  SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT {nq})""")
+    parts.append(f"""probes AS (
+  SELECT vec_id, ci AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, ci) AS rn
+    FROM (SELECT q.vec_id, q.qv, c.ci, {dist} AS d
+          FROM qsel q CROSS JOIN c{km_iters} c))
+  WHERE rn <= {nprobe})""")
+    parts.append(f"""qres AS MATERIALIZED (
+  SELECT p.vec_id, p.cell,
+         list_transform(range({dim}), j -> s.qv[j + 1] - c.cent[j + 1]) AS qv
+  FROM probes p JOIN qsel s ON s.vec_id = p.vec_id
+  JOIN c{km_iters} c ON c.ci = p.cell)""")
+    for m in range(m_sub):
+        lo, hi = m * ds + 1, (m + 1) * ds
+        parts.append(
+            f"rqs{m} AS (SELECT vec_id, cell, qv[{lo}:{hi}] AS qv FROM qres)"
+        )
+    parts.append("""cands AS (
+  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id, p.cell
+  FROM asn a JOIN probes p ON a.cell = p.cell AND a.vec_id != p.vec_id)""")
+    dms = []
+    for m in range(m_sub):
+        parts.append(f"""dm{m} AS (
+  SELECT cd.query_id, cd.neighbor_id, {_sql_kmeans_dist(ds, 'qu', 'c')} AS d
+  FROM cands cd
+  JOIN code{m} co ON co.vec_id = cd.neighbor_id
+  JOIN c{m}_{pq_iters} c ON c.ci = co.ci
+  JOIN rqs{m} qu ON qu.vec_id = cd.query_id AND qu.cell = cd.cell)""")
+        dms.append(f"SELECT * FROM dm{m}")
+    parts.append(f"""adc AS (
+  SELECT query_id, neighbor_id, CAST(sum(d) AS BIGINT) AS adc_dist
+  FROM ({' UNION ALL '.join(dms)})
+  GROUP BY query_id, neighbor_id)""")
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT query_id, neighbor_id, adc_dist, rank FROM (
+  SELECT query_id, neighbor_id, adc_dist,
+         CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist, neighbor_id) AS BIGINT) AS rank
+  FROM adc)
+WHERE rank <= {topk}
+"""
+    )
+
+
+SQL_IVFPQ_RESIDUAL_TOPK = _sql_ivfpq_residual(
     _KM_K, _KM_ITERS, _KM_DIM, _PQ_M, _PQ_KS, _PQ_ITERS,
     _IVT_NPROBE, _IVT_NQ, _IVT_TOPK
 )
@@ -4121,6 +4248,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mix_rebalance": q_mix_rebalance,
     "winnow_fingerprints": q_winnow_fingerprints,
     "ivfpq_topk": q_ivfpq_topk,
+    "ivfpq_residual_topk": q_ivfpq_residual_topk,
     "sq8_topk": q_sq8_topk,
     "knn_label_vote": q_knn_label_vote,
     "line_dedup": q_line_dedup,
@@ -4196,6 +4324,7 @@ ORACLES: dict[str, str] = {
     "mix_rebalance": SQL_MIX_REBALANCE,
     "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
     "ivfpq_topk": SQL_IVFPQ_TOPK,
+    "ivfpq_residual_topk": SQL_IVFPQ_RESIDUAL_TOPK,
     "sq8_topk": SQL_SQ8_TOPK,
     "knn_label_vote": SQL_KNN_LABEL_VOTE,
     "line_dedup": SQL_LINE_DEDUP,

@@ -656,6 +656,7 @@ def pq_train_codebooks(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int = 64,
+    quantized: bool = False,
 ) -> tuple[DataFrame, list[list[list[int]]]]:
     """Train per-subspace PQ codebooks (Jegou et al. 2011, "Product
     Quantization for Nearest Neighbor Search"): split each quantized
@@ -673,10 +674,15 @@ def pq_train_codebooks(
     iteration pays ONE partial-aggregated shuffle keyed
     (subspace, centroid, dim) — m_sub*ks*ds groups (512 rows here).
     Codebooks live driver-side: m_sub*ks*ds ints — the thing you
-    broadcast, never shuffle."""
+    broadcast, never shuffle.
+
+    With quantized=True the vec_col is taken as an already-integer
+    array (e.g. cell residuals for the by_residual IVFADC variant)
+    and quantize_vec is skipped."""
     ds = dim // m_sub
+    vec = F.col(vec_col) if quantized else quantize_vec(F.col(vec_col))
     q = corpus.select(
-        F.col(id_col).alias("vec_id"), quantize_vec(F.col(vec_col)).alias("qv")
+        F.col(id_col).alias("vec_id"), vec.alias("qv")
     ).localCheckpoint(eager=True)
     init_rows = q.orderBy("vec_id").limit(ks).collect()
     cents = [
@@ -726,14 +732,18 @@ def pq_train_codebooks(
     return q, cents
 
 
-def _pq_code_expr(cents: list[list[list[int]]], ds: int, m_sub: int) -> Column:
+def _pq_code_expr(
+    cents: list[list[list[int]]], ds: int, m_sub: int, vec: Column | None = None
+) -> Column:
     """array<long> of per-subspace nearest-codebook-centroid indexes
-    for the row's quantized vector column `qv` — the PQ encoding."""
+    for `vec` (default: the row's quantized vector column `qv`) — the
+    PQ encoding."""
+    v = F.col("qv") if vec is None else vec
     return F.array(
         *[
             F.array_min(
                 packed_centroid_dist_array(
-                    cents[m], F.slice(F.col("qv"), m * ds + 1, ds)
+                    cents[m], F.slice(v, m * ds + 1, ds)
                 )
             )["c"]
             for m in range(m_sub)
@@ -742,17 +752,20 @@ def _pq_code_expr(cents: list[list[list[int]]], ds: int, m_sub: int) -> Column:
 
 
 def _pq_dist_table_expr(
-    cents: list[list[list[int]]], ds: int, m_sub: int
+    cents: list[list[list[int]]], ds: int, m_sub: int, vec: Column | None = None
 ) -> Column:
     """array<array<long>>: dt[m][ci] = squared L2 distance from the
-    row's m-th query subvector to codebook centroid ci — the per-query
-    ADC lookup tables, built on the tiny broadcast side."""
+    row's m-th query subvector (of `vec`, default column `qv`) to
+    codebook centroid ci — the per-query ADC lookup tables, built on
+    the tiny broadcast side."""
     import json as _json
+
+    v = F.col("qv") if vec is None else vec
 
     def _dist_table(m: int) -> Column:
         # closure factory, NOT a default-arg lambda: a 2-param lambda
         # would be read by PySpark as (element, index) and clobber m
-        sub = F.slice(F.col("qv"), m * ds + 1, ds)
+        sub = F.slice(v, m * ds + 1, ds)
         return F.transform(
             F.from_json(F.lit(_json.dumps(cents[m])), "array<array<bigint>>"),
             lambda c: F.aggregate(
@@ -927,6 +940,150 @@ def ivfpq_topk(
                 lambda s: s.getField("c"),
             )
         ).alias("cell"),
+    )
+    scored = (
+        encoded.join(F.broadcast(qside), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _pq_adc_expr(m_sub).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _packed_matrix(mat: list[list[int]]) -> Column:
+    """A list-of-int-vectors as ONE folded from_json literal (the r3
+    task-binary lesson: F.lit(nested list) expands to per-element
+    plan nodes; from_json folds to a single Literal)."""
+    import json as _json
+
+    return F.from_json(F.lit(_json.dumps(mat)), "array<array<bigint>>")
+
+
+def residual_projection(
+    corpus: DataFrame,
+    centroids: list[list[int]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_id, cell, rv): each vector's nearest trained cell and its
+    integer residual rv = qv - centroid[cell] — the corpus projection
+    the by_residual IVFADC variant trains and encodes on.  Map-side
+    only (argmin + zip_with against packed constants, no shuffle)."""
+    cc = _packed_matrix(centroids)
+    q = corpus.select(
+        F.col(id_col).alias("vec_id"), quantize_vec(F.col(vec_col)).alias("qv")
+    )
+    assigned = q.select(
+        "vec_id",
+        "qv",
+        F.array_min(centroid_dist_array(centroids, F.col("qv")))["c"].alias("cell"),
+    )
+    return assigned.select(
+        "vec_id",
+        "cell",
+        F.zip_with(
+            F.col("qv"),
+            F.element_at(cc, (F.col("cell") + 1).cast("int")),
+            lambda a, b: a - b,
+        ).alias("rv"),
+    )
+
+
+def ivfpq_topk_residual(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    km_iters: int = 3,
+    nprobe: int = 2,
+    m_sub: int = 8,
+    ks: int = 8,
+    pq_iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    centroids: list[list[int]] | None = None,
+    codebooks: list[list[list[int]]] | None = None,
+) -> DataFrame:
+    """IVFADC with RESIDUAL encoding — FAISS IndexIVFPQ's default
+    (by_residual=True), completing ivfpq_topk's no-residual variant:
+    the product quantizer encodes each vector's offset FROM its coarse
+    cell centroid rather than the raw vector, so the ks codewords per
+    subspace only have to cover the (much tighter) within-cell spread
+    — the reason FAISS defaults to it.
+
+      1. TRAIN: coarse k-means centroids as before; PQ codebooks on
+         the RESIDUALS (pq_train_codebooks(quantized=True) over
+         residual_projection's rv column) — training is downstream of
+         assignment, the one extra dependency residual encoding costs;
+      2. ENCODE: cell + m_sub residual codes, ONE map-side pass
+         (residual is a zip_with against the packed centroid matrix);
+      3. PROBE: a query's distance table is now PER (query, cell) —
+         the residual of the query w.r.t. each PROBED cell's centroid
+         (nq x nprobe rows, still tiny, still broadcast);
+      4. SCORE: equi-join on cell; because a (query, candidate) pair
+         meets in exactly one cell, the per-cell tables stay exact.
+
+    Same scale shape as ivfpq_topk: the probe join is the only
+    corpus-scaled step, cell-pruned, payload (id, cell, codes); raw
+    vectors never leave the encode stage.  Integer-exact end-to-end;
+    ties break (adc_dist, neighbor_id).
+
+    Accepts pre-trained `centroids`/`codebooks` (the codebooks MUST
+    then be residual-trained — e.g. the memoized entry constants)."""
+    from pyspark.sql import Window
+
+    if centroids is None:
+        _, centroids = train_kmeans_centroids(
+            corpus, n_cells, km_iters, vec_col, id_col, dim
+        )
+    resid = residual_projection(corpus, centroids, vec_col, id_col)
+    if codebooks is None:
+        _, codebooks = pq_train_codebooks(
+            resid.select("vec_id", F.col("rv").alias("qv")),
+            m_sub=m_sub, ks=ks, iters=pq_iters,
+            vec_col="qv", id_col="vec_id", dim=dim, quantized=True,
+        )
+    ds = dim // m_sub
+    encoded = resid.select(
+        "vec_id",
+        "cell",
+        _pq_code_expr(codebooks, ds, m_sub, vec=F.col("rv")).alias("code"),
+    )
+    cc = _packed_matrix(centroids)
+    probed = queries.select(
+        F.col(id_col).alias("query_id"),
+        quantize_vec(F.col(vec_col)).alias("qv"),
+    ).select(
+        "query_id",
+        "qv",
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.array_sort(centroid_dist_array(centroids, F.col("qv"))),
+                    1,
+                    nprobe,
+                ),
+                lambda s: s.getField("c"),
+            )
+        ).alias("cell"),
+    )
+    qr = F.zip_with(
+        F.col("qv"),
+        F.element_at(cc, (F.col("cell") + 1).cast("int")),
+        lambda a, b: a - b,
+    )
+    qside = probed.select(
+        "query_id",
+        "cell",
+        _pq_dist_table_expr(codebooks, ds, m_sub, vec=qr).alias("dt"),
     )
     scored = (
         encoded.join(F.broadcast(qside), "cell")

@@ -29,6 +29,10 @@ def test_analyze_cli_on_documents():
     # covers at least the exact dups that banded together
     assert report["neardup_clusters"] >= 0
     assert 0 <= report["neardup_cluster_removable"] <= report["minhash_candidate_pairs"]
+    # PII audit block: the synthetic corpus is digit-free word salad,
+    # so every count must be present and zero — a nonzero here means
+    # the patterns drifted into false positives
+    assert report["pii"] == {"emails": 0, "phones": 0, "ips": 0, "docs_with_pii": 0}
 
 
 def test_read_webtext_parquet_fallback(spark, tmp_path):
