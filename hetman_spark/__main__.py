@@ -62,6 +62,10 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--neardup-jaccard", type=float, default=0.8,
                    help="exact n-gram Jaccard threshold a candidate pair must "
                         "meet to count as a near-dup (default 0.8)")
+    r.add_argument("--redact-pii", action="store_true",
+                   help="mask emails/phones/IPs in the extracted text before "
+                        "the sinks (release-gate scrub; runs after dedup "
+                        "stages, which key on the raw text)")
 
     st = sub.add_parser(
         "stream",
@@ -223,6 +227,7 @@ def main(argv: list[str] | None = None) -> int:
                 dedup=args.dedup,
                 neardup=args.neardup,
                 neardup_jaccard=args.neardup_jaccard,
+                redact_pii=args.redact_pii,
             )
             n_splits_done += len(res.splits_processed)
             tot_in += res.rows_in

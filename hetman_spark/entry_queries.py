@@ -4134,12 +4134,24 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merge_steps(_t(spark, sf_dir, "documents"), n_merges=3)
 
 
-def _sql_bpe_merges(n_merges: int = 3) -> str:
-    """Unrolled-CTE DuckDB twin of bpe_merge_steps: w{i} is the
-    space-delimited symbol table after i merges, p{i}/m{i} the pair
-    counts / argmax of iteration i.  The two-pass replace is the SAME
-    definition the Spark side pins (non-overlapping left-to-right
-    per pass), so the merge application is engine-identical."""
+def q_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE train -> ENCODE in one plan (text.bpe_encode_stats): per-doc
+    token counts after the 3 trained merges — the tokenizer loop
+    closed end-to-end, the same completion pattern as the IVF
+    train->assign->probe entry."""
+    from hetman_spark.functions.text import bpe_encode_stats
+
+    return bpe_encode_stats(_t(spark, sf_dir, "documents"), n_merges=3)
+
+
+def _sql_bpe_parts(n_merges: int, apply_last: bool) -> list[str]:
+    """Shared CTE chain of the BPE twins: w{i} is the space-delimited
+    symbol table after i merges (carrying the original word w),
+    p{i}/m{i} the pair counts / argmax of iteration i.  The two-pass
+    replace is the SAME definition the Spark side pins
+    (non-overlapping left-to-right per pass), so the merge
+    application is engine-identical.  apply_last mirrors
+    text._bpe_train: the encode twin needs w{n_merges}."""
     parts = [
         r"""
 WITH words AS (
@@ -4147,7 +4159,7 @@ WITH words AS (
     SELECT unnest(string_split_regex(text, ' +')) AS w FROM documents
   ) WHERE len(w) > 0 GROUP BY w
 ), w0 AS (
-  SELECT ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS delim, freq FROM words
+  SELECT w, ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS delim, freq FROM words
 )"""
     ]
     for i in range(1, n_merges + 1):
@@ -4161,21 +4173,58 @@ WITH words AS (
   ) GROUP BY pr
 ), m{i} AS (SELECT pr, cnt FROM p{i} ORDER BY cnt DESC, pr LIMIT 1)"""
         )
-        if i < n_merges:
+        if i < n_merges or apply_last:
             parts.append(
                 f""", w{i} AS (
-  SELECT replace(replace(delim,
+  SELECT w, replace(replace(delim,
            ' ' || pr || ' ', ' ' || replace(pr, ' ', '') || ' '),
            ' ' || pr || ' ', ' ' || replace(pr, ' ', '') || ' ') AS delim, freq
   FROM {prev}, m{i}
 )"""
             )
+    return parts
+
+
+def _sql_bpe_merges(n_merges: int = 3) -> str:
+    """DuckDB twin of bpe_merge_steps: the per-iteration argmax rows."""
     selects = [
         f"SELECT CAST({i} AS INT) AS merge_idx, pr AS pair,"
         f" replace(pr, ' ', '') AS merged, cnt AS pair_count FROM m{i}"
         for i in range(1, n_merges + 1)
     ]
-    return "".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+    return (
+        "".join(_sql_bpe_parts(n_merges, apply_last=False))
+        + "\n"
+        + "\nUNION ALL ".join(selects)
+    )
+
+
+def _sql_bpe_encode(n_merges: int = 3) -> str:
+    """DuckDB twin of bpe_encode_stats: per-word token counts from the
+    post-merge state w{n_merges}, joined to each doc's exploded words."""
+    parts = _sql_bpe_parts(n_merges, apply_last=True)
+    parts.append(
+        f""", pw AS (
+  SELECT w,
+         CAST(len(string_split(trim(delim), ' ')) AS BIGINT) AS toks,
+         CAST(len(w) AS BIGINT) AS chars
+  FROM w{n_merges}
+)"""
+    )
+    return (
+        "".join(parts)
+        + """
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(pw.chars) AS BIGINT) AS n_chars,
+       CAST(sum(pw.toks) AS BIGINT) AS n_tokens
+FROM (
+  SELECT doc_id, unnest(string_split_regex(text, ' +')) AS w FROM documents
+) d JOIN pw USING (w)
+WHERE len(d.w) > 0
+GROUP BY doc_id
+"""
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -4255,6 +4304,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frequent_ngrams": q_frequent_ngrams,
     "pii_redact": q_pii_redact,
     "bpe_merges": q_bpe_merges,
+    "bpe_encode_stats": q_bpe_encode_stats,
     "multimodal_features": q_multimodal_features,
 }
 
@@ -4331,5 +4381,6 @@ ORACLES: dict[str, str] = {
     "frequent_ngrams": SQL_FREQUENT_NGRAMS,
     "pii_redact": SQL_PII_REDACT,
     "bpe_merges": _sql_bpe_merges(),
+    "bpe_encode_stats": _sql_bpe_encode(),
     "multimodal_features": SQL_MULTIMODAL,
 }

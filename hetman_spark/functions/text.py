@@ -329,6 +329,20 @@ def bpe_merge_steps(
     No reference analog (the reference ships logs); this is the
     tokenizer-training stage of the LLM-pipeline brief.
     """
+    steps, _ = _bpe_train(docs, text_col, n_merges, apply_last=False)
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+def _bpe_train(
+    docs: DataFrame, text_col: str, n_merges: int, apply_last: bool
+) -> tuple[list[DataFrame], DataFrame]:
+    """Shared BPE training core: returns (per-iteration step rows,
+    word-state table (w, delim, freq) after the merges).  apply_last
+    controls whether the final iteration's merge is applied to the
+    state (the step ROWS never need it; encoding does)."""
     words = (
         docs.select(F.explode(F.split(F.col(text_col), " +")).alias("w"))
         .filter(F.length("w") > 0)
@@ -337,6 +351,7 @@ def bpe_merge_steps(
     )
     # " c1 c2 ... cn " — spaces delimit symbols; merges concatenate.
     cur = words.select(
+        "w",
         F.concat(F.lit(" "), F.regexp_replace(F.col("w"), "(.)", "$1 ")).alias("delim"),
         "freq",
     )
@@ -366,7 +381,7 @@ def bpe_merge_steps(
                 F.col("pair_count"),
             )
         )
-        if i < n_merges:
+        if i < n_merges or apply_last:
             best = top.select(
                 F.concat(F.lit(" "), F.col("pair"), F.lit(" ")).alias("_src"),
                 F.concat(
@@ -376,6 +391,7 @@ def bpe_merge_steps(
                 ).alias("_dst"),
             )
             cur = cur.crossJoin(F.broadcast(best)).select(
+                "w",
                 F.replace(
                     F.replace(F.col("delim"), F.col("_src"), F.col("_dst")),
                     F.col("_src"),
@@ -383,10 +399,47 @@ def bpe_merge_steps(
                 ).alias("delim"),
                 "freq",
             )
-    out = steps[0]
-    for s in steps[1:]:
-        out = out.unionByName(s)
-    return out
+    return steps, cur
+
+
+def bpe_encode_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = 3,
+) -> DataFrame:
+    """Train the first `n_merges` BPE merges AND apply them — the
+    tokenizer train->encode loop closed in one plan (the same
+    completion pattern as IVF's train->assign->probe).  Returns per
+    doc: (doc_id, n_words, n_chars, n_tokens) where n_tokens is the
+    symbol count after the trained merges (n_chars = token count at
+    zero merges, so n_chars - n_tokens = merges that fired in the
+    doc).
+
+    Scale shape: encoding is a (word -> token-count) lookup table —
+    vocabulary-sized, broadcastable — joined to the doc's exploded
+    words and partial-agg summed per doc; the corpus text never rides
+    a shuffle (only (doc_id, word) pairs do, and at 100 TB the word
+    table broadcasts so only the doc-keyed partial agg shuffles)."""
+    _, state = _bpe_train(docs, text_col, n_merges, apply_last=True)
+    per_word = state.select(
+        "w",
+        F.size(F.split(F.trim(F.col("delim")), " ")).cast("long").alias("_toks"),
+        F.length("w").cast("long").alias("_chars"),
+    )
+    doc_words = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " +")).alias("w"),
+    ).filter(F.length("w") > 0)
+    return (
+        doc_words.join(F.broadcast(per_word), "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("_chars").alias("n_chars"),
+            F.sum("_toks").alias("n_tokens"),
+        )
+    )
 
 
 def word_ngrams(text: Column, n: int = 3, sep: str = " ") -> Column:

@@ -364,6 +364,7 @@ def run_pipeline(
     dedup: bool = False,
     neardup: bool = False,
     neardup_jaccard: float = 0.8,
+    redact_pii: bool = False,
 ) -> PipelineResult:
     """Resumable driver loop.
 
@@ -399,6 +400,14 @@ def run_pipeline(
     design: candidate recall spans one commit batch (cross-batch
     near-dups need the offline dedup_clusters pass or the incremental
     signature-table path — see COVERAGE).
+
+    redact_pii=True masks emails/phones/IPs in the extracted text
+    (functions/text.py:pii_redact) as the LAST content stage, after
+    the dedup stages (which key on the raw text): the release-gate
+    ordering of a corpus build — dedup on content identity, then
+    scrub what ships.  Pure codegen regexps folded into the existing
+    plan (no extra shuffle or job); parse failures pass through (P6);
+    affected-doc count recorded as pii.docs_masked.
 
     Each iteration: one Spark job over <= splits_per_commit uncommitted
     splits -> dynamic-overwrite write partitioned by (sink_id,
@@ -586,6 +595,40 @@ def run_pipeline(
                 .observe(obs_neardup, F.count(F.lit(1)).alias("rows_kept"))
             )
 
+        obs_pii = None
+        if redact_pii:
+            from hetman_spark.functions.text import pii_redact
+
+            # PII scrub as the LAST content stage (after dedup/near-dup,
+            # which key on the raw text): sinks never carry raw
+            # emails/phones/IPs — the release-gate ordering a corpus
+            # build uses (dedup on content identity, then mask).  Pure
+            # codegen regexps riding the existing plan, no extra
+            # shuffle or job; parse failures (NULL text) pass through
+            # (pii_redact(NULL).masked is NULL, coalesce keeps NULL).
+            obs_pii = Observation()
+            pii = pii_redact(F.col("extracted_text"))
+            flowed = (
+                flowed.withColumn("_pii", pii)
+                .withColumn(
+                    "extracted_text",
+                    F.coalesce(F.col("_pii.masked"), F.col("extracted_text")),
+                )
+                .observe(
+                    obs_pii,
+                    F.count_if(
+                        F.coalesce(
+                            F.col("_pii.n_emails")
+                            + F.col("_pii.n_phones")
+                            + F.col("_pii.n_ips"),
+                            F.lit(0),
+                        )
+                        > 0
+                    ).alias("docs_masked"),
+                )
+                .drop("_pii")
+            )
+
         def enrich(frame: DataFrame) -> DataFrame:
             if presalt:
                 return enrich_with_lookup(frame, lookup, on="lang",
@@ -652,6 +695,10 @@ def run_pipeline(
             )
             stage_pairs.append(
                 ("neardup.dropped", nd_in - (obs_neardup.get["rows_kept"] or 0))
+            )
+        if obs_pii is not None:
+            stage_pairs.append(
+                ("pii.docs_masked", obs_pii.get["docs_masked"] or 0)
             )
         for key, val in stage_pairs:
             result.stage_counts[key] = result.stage_counts.get(key, 0) + int(val or 0)

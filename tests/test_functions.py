@@ -1277,3 +1277,15 @@ def test_bpe_merge_steps_matches_python_reference(spark):
         for r in bpe_merge_steps(df, n_merges=4).orderBy("merge_idx").collect()
     ]
     assert got == ref_merges(words * 3, 4)
+
+
+def test_bpe_encode_stats_hand_computed(spark):
+    """Train->encode on the Sennrich corpus: after merges (l o),
+    (lo w), (low e) — 'low'=1 token, 'lower'=lowe,r=2, 'lowest'=
+    lowe,s,t=3.  Doc of all 9 words: 9 words, 37 chars, 15 tokens."""
+    from hetman_spark.functions.text import bpe_encode_stats
+
+    corpus = " ".join(["low"] * 5 + ["lower"] * 2 + ["lowest"] * 2)
+    df = spark.createDataFrame([(7, corpus)], "doc_id long, text string")
+    r = bpe_encode_stats(df, n_merges=3).collect()[0]
+    assert (r["doc_id"], r["n_words"], r["n_chars"], r["n_tokens"]) == (7, 9, 37, 15)

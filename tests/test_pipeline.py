@@ -349,3 +349,54 @@ def test_pipeline_neardup_stage(spark, tmp_path):
                         splits_per_commit=8, neardup=True)
     assert res2.splits_processed == []
     assert out.filter(F.col("sink_id") == matchall).count() == 340 - len(dropped)
+
+
+def test_pipeline_redact_pii_stage(spark, tmp_path):
+    """run_pipeline(redact_pii=True): rows with planted emails reach
+    the sinks MASKED (<EMAIL>), no raw address survives anywhere, no
+    row is dropped, pii.docs_masked counts exactly the planted rows,
+    and clean rows stay byte-identical to their golden text."""
+    from pyspark.sql import functions as F
+
+    src_dir = str(tmp_path / "src")
+    base = generate_webtext(spark, 300, n_splits=4)
+    # row id recovered from the url suffix (generate_webtext does not
+    # expose the range id); html is binary -> string round-trip is
+    # lossless utf-8
+    rid = F.regexp_extract(F.col("url"), r"page-(\d+)$", 1).cast("long")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" reach me at user"),
+        rid.cast("string"),
+        F.lit("@example.com now"),
+    )
+    seeded = base.withColumn(
+        "html",
+        F.when(
+            rid < 50,
+            F.replace(F.col("html").cast("string"), F.col("text"), planted)
+            .cast("binary"),
+        ).otherwise(F.col("html")),
+    ).withColumn(
+        "text",
+        F.when(rid < 50, planted).otherwise(F.col("text")),
+    )
+    seeded.write.partitionBy("split_id").parquet(src_dir)
+
+    res = run_pipeline(spark, src_dir, str(tmp_path / "out_pii"),
+                       splits_per_commit=8, redact_pii=True)
+
+    matchall = [s.signature() for s in __import__(
+        "hetman_spark.sources.lookup", fromlist=["DEFAULT_SINKS"]
+    ).DEFAULT_SINKS if s.predicate_col == "*"][0]
+    assert res.sink_counts[matchall] == 300  # scrub never drops rows
+    assert res.stage_counts["pii.docs_masked"] == 50
+
+    out = spark.read.parquet(str(tmp_path / "out_pii" / "data"))
+    assert out.filter(F.col("text").contains("@example.com")).count() == 0
+    survivors = out.filter(F.col("sink_id") == matchall)
+    assert survivors.filter(F.col("text").contains("<EMAIL>")).count() == 50
+    # clean rows byte-identical to the source golden text
+    golden = spark.read.parquet(src_dir).select("url", F.col("text").alias("g"))
+    clean = survivors.join(golden, "url").filter(~F.col("text").contains("<EMAIL>"))
+    assert clean.filter(~F.col("text").eqNullSafe(F.col("g"))).count() == 0
