@@ -541,20 +541,27 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # length-difference trick as SQL_TEXT_STATS (DuckDB regexp_replace
 # needs 'g' to match Spark's replace-all).  CTE block shared with the
 # composite corpus_keep_list oracle.
-_SQL_QUALITY_CTES = r"""m AS (
+def _sql_quality_ctes(src: str = "documents", text: str = "text") -> str:
+    """The Gopher-rule quality CTE pair (m, qreason), parameterized on
+    the source CTE/table and text column so compositions over DERIVED
+    corpora (corpus_release) reuse the identical rule text."""
+    t = text
+    return (
+        r"""m AS (
   SELECT doc_id,
-    CAST(length(text) AS BIGINT) AS n_chars,
-    CAST(CASE WHEN length(text) = 0 THEN 0
-         ELSE len(regexp_split_to_array(text, '\s+')) END AS BIGINT) AS n_tokens,
-    CAST(length(regexp_replace(text, '[^\p{L}]', '', 'g')) AS BIGINT) AS alpha,
-    CAST((length(lower(text)) - length(regexp_replace(lower(text), '\bthe\b', '', 'g'))) / 3
-       + (length(lower(text)) - length(regexp_replace(lower(text), '\band\b', '', 'g'))) / 3
-       + (length(lower(text)) - length(regexp_replace(lower(text), '\bof\b', '', 'g'))) / 2
-       + (length(lower(text)) - length(regexp_replace(lower(text), '\bto\b', '', 'g'))) / 2
-       + (length(lower(text)) - length(regexp_replace(lower(text), '\bis\b', '', 'g'))) / 2
+    CAST(length(%(t)s) AS BIGINT) AS n_chars,
+    CAST(CASE WHEN length(%(t)s) = 0 THEN 0
+         ELSE len(regexp_split_to_array(%(t)s, '\s+')) END AS BIGINT) AS n_tokens,
+    CAST(length(regexp_replace(%(t)s, '[^\p{L}]', '', 'g')) AS BIGINT) AS alpha,
+    CAST((length(lower(%(t)s)) - length(regexp_replace(lower(%(t)s), '\bthe\b', '', 'g'))) / 3
+       + (length(lower(%(t)s)) - length(regexp_replace(lower(%(t)s), '\band\b', '', 'g'))) / 3
+       + (length(lower(%(t)s)) - length(regexp_replace(lower(%(t)s), '\bof\b', '', 'g'))) / 2
+       + (length(lower(%(t)s)) - length(regexp_replace(lower(%(t)s), '\bto\b', '', 'g'))) / 2
+       + (length(lower(%(t)s)) - length(regexp_replace(lower(%(t)s), '\bis\b', '', 'g'))) / 2
        AS BIGINT) AS stop_hits
-  FROM documents
-), qreason AS (
+  FROM %(src)s
+)""" % {"t": t, "src": src}
+        + r""", qreason AS (
   SELECT doc_id,
     CASE WHEN n_chars IS NULL THEN 'empty'
          WHEN n_tokens < 10 THEN 'too_short'
@@ -566,6 +573,10 @@ _SQL_QUALITY_CTES = r"""m AS (
          ELSE 'ok' END AS reason
   FROM m
 )"""
+    )
+
+
+_SQL_QUALITY_CTES = _sql_quality_ctes()
 
 SQL_QUALITY_FILTER = f"""
 WITH {_SQL_QUALITY_CTES}
@@ -4037,17 +4048,12 @@ SELECT sink_id, count(*) AS n FROM (
 # ---------------------------------------------------------------------------
 
 
-def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII scrub over a derived corpus: doc_id%7 docs get an email,
-    %11 a ddd-ddd-dddd phone, %13 a dotted-quad IP appended; the
-    operator counts and masks all three.  Output: per-doc counts +
-    the masked text."""
-    from hetman_spark.functions.text import pii_redact
-
-    d = _t(spark, sf_dir, "documents")
-    did = F.col("doc_id")
-    seeded = F.concat(
-        F.col("text"),
+def _pii_seed_expr(text: Column, did: Column) -> Column:
+    """Deterministic PII injection keyed by `did`: %7 an email, %11 a
+    ddd-ddd-dddd phone, %13 a dotted-quad IP (all three can land on
+    one doc)."""
+    return F.concat(
+        text,
         F.when(
             did % 7 == 0,
             F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com now")),
@@ -4074,6 +4080,35 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).otherwise(F.lit("")),
     )
+
+
+def _sql_pii_seed(text: str, did: str) -> str:
+    """DuckDB twin of _pii_seed_expr (text/did are SQL expressions)."""
+    return f"""{text}
+    || CASE WHEN ({did}) % 7 = 0
+            THEN ' contact user' || CAST(({did}) AS VARCHAR) || '@example.com now'
+            ELSE '' END
+    || CASE WHEN ({did}) % 11 = 0
+            THEN ' call 555-' || lpad(CAST(({did}) % 1000 AS VARCHAR), 3, '0')
+                 || '-' || lpad(CAST((({did}) * 37) % 10000 AS VARCHAR), 4, '0')
+                 || ' today'
+            ELSE '' END
+    || CASE WHEN ({did}) % 13 = 0
+            THEN ' from 10.' || CAST(({did}) % 256 AS VARCHAR)
+                 || '.' || CAST((({did}) * 7) % 256 AS VARCHAR)
+                 || '.' || CAST((({did}) * 13) % 256 AS VARCHAR)
+            ELSE '' END"""
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over a derived corpus: doc_id%7 docs get an email,
+    %11 a ddd-ddd-dddd phone, %13 a dotted-quad IP appended; the
+    operator counts and masks all three.  Output: per-doc counts +
+    the masked text."""
+    from hetman_spark.functions.text import pii_redact
+
+    d = _t(spark, sf_dir, "documents")
+    seeded = _pii_seed_expr(F.col("text"), F.col("doc_id"))
     s = pii_redact(seeded)
     return d.select(
         "doc_id",
@@ -4084,24 +4119,11 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_PII_REDACT = r"""
-WITH seeded AS (
-  SELECT doc_id, text
-    || CASE WHEN doc_id % 7 = 0
-            THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
-            ELSE '' END
-    || CASE WHEN doc_id % 11 = 0
-            THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
-                 || '-' || lpad(CAST((doc_id * 37) % 10000 AS VARCHAR), 4, '0')
-                 || ' today'
-            ELSE '' END
-    || CASE WHEN doc_id % 13 = 0
-            THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
-                 || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
-                 || '.' || CAST((doc_id * 13) % 256 AS VARCHAR)
-            ELSE '' END AS t
-  FROM documents
-)
+SQL_PII_REDACT = (
+    "\nWITH seeded AS (\n  SELECT doc_id, "
+    + _sql_pii_seed("text", "doc_id")
+    + " AS t\n  FROM documents\n)"
+) + r"""
 SELECT doc_id,
        CAST(len(regexp_extract_all(t,
          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
@@ -4228,6 +4250,86 @@ GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# Corpus RELEASE composition: quality gate -> exact dedup -> PII scrub
+# in ONE plan over a derived corpus (each doc duplicated under a
+# shifted id, PII seeded identically for both copies) — the
+# end-of-pipeline release pass a corpus build ships, with the
+# composition itself under the value oracle (the corpus_keep_list
+# pattern extended by the masking stage).
+# ---------------------------------------------------------------------------
+
+
+def q_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fail verdict per derived doc: 'quality:<rule>' (Gopher
+    gate on the seeded text) / 'dup' (non-min doc_id of an identical-
+    text group) / 'ok'; masked text ships ONLY for 'ok' docs, n_pii
+    counts hits either way.  One plan: per-row gate + ONE
+    hash-keyed window + per-row masking."""
+    from pyspark.sql import Window
+
+    from hetman_spark.functions.text import pii_redact, quality_filter
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    rel = d.unionByName(
+        d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    seeded = rel.select(
+        "doc_id",
+        _pii_seed_expr(F.col("text"), F.col("doc_id") % 100000).alias("t"),
+    )
+    gated = quality_filter(seeded, text_col="t")
+    keeper = F.min("doc_id").over(Window.partitionBy(F.md5(F.col("t"))))
+    p = pii_redact(F.col("t"))
+    verdict = (
+        F.when(F.col("reason") != "ok", F.concat(F.lit("quality:"), F.col("reason")))
+        .when(F.col("doc_id") != keeper, F.lit("dup"))
+        .otherwise(F.lit("ok"))
+    )
+    return gated.select(
+        "doc_id",
+        verdict.alias("verdict"),
+        (
+            p.getField("n_emails") + p.getField("n_phones") + p.getField("n_ips")
+        ).alias("n_pii"),
+        F.when(verdict == "ok", p.getField("masked")).alias("masked"),
+    )
+
+
+def _sql_corpus_release() -> str:
+    email = r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'"
+    phone = r"'\b\d{3}-\d{3}-\d{4}\b'"
+    ip = r"'\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'"
+    return (
+        "\nWITH rel AS (\n"
+        "  SELECT doc_id, text FROM documents\n"
+        "  UNION ALL\n"
+        "  SELECT doc_id + 100000 AS doc_id, text FROM documents\n"
+        "), seeded AS (\n  SELECT doc_id, "
+        + _sql_pii_seed("text", "doc_id % 100000")
+        + " AS t\n  FROM rel\n), "
+        + _sql_quality_ctes(src="seeded", text="t")
+        + ",\nkeep AS (\n"
+        "  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(t)) AS keeper, t\n"
+        "  FROM seeded\n), verdicts AS (\n"
+        "  SELECT k.doc_id, k.t,\n"
+        "         CASE WHEN q.reason <> 'ok' THEN 'quality:' || q.reason\n"
+        "              WHEN k.doc_id <> k.keeper THEN 'dup'\n"
+        "              ELSE 'ok' END AS verdict\n"
+        "  FROM keep k JOIN qreason q USING (doc_id)\n)\n"
+        "SELECT doc_id, verdict,\n"
+        f"       CAST(len(regexp_extract_all(t, {email}))\n"
+        f"          + len(regexp_extract_all(t, {phone}))\n"
+        f"          + len(regexp_extract_all(t, {ip})) AS BIGINT) AS n_pii,\n"
+        "       CASE WHEN verdict = 'ok' THEN\n"
+        "         regexp_replace(regexp_replace(regexp_replace(t,\n"
+        f"           {email}, '<EMAIL>', 'g'),\n"
+        f"           {phone}, '<PHONE>', 'g'),\n"
+        f"           {ip}, '<IP>', 'g') END AS masked\n"
+        "FROM verdicts\n"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -4305,6 +4407,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_redact": q_pii_redact,
     "bpe_merges": q_bpe_merges,
     "bpe_encode_stats": q_bpe_encode_stats,
+    "corpus_release": q_corpus_release,
     "multimodal_features": q_multimodal_features,
 }
 
@@ -4382,5 +4485,6 @@ ORACLES: dict[str, str] = {
     "pii_redact": SQL_PII_REDACT,
     "bpe_merges": _sql_bpe_merges(),
     "bpe_encode_stats": _sql_bpe_encode(),
+    "corpus_release": _sql_corpus_release(),
     "multimodal_features": SQL_MULTIMODAL,
 }

@@ -1289,3 +1289,27 @@ def test_bpe_encode_stats_hand_computed(spark):
     df = spark.createDataFrame([(7, corpus)], "doc_id long, text string")
     r = bpe_encode_stats(df, n_merges=3).collect()[0]
     assert (r["doc_id"], r["n_words"], r["n_chars"], r["n_tokens"]) == (7, 9, 37, 15)
+
+
+def test_corpus_release_verdict_order_and_masking(spark, sf_dir):
+    """Composition semantics on the real fixture: each derived pair
+    (doc_id, doc_id+100000) shares identical text, so whenever the
+    quality gate passes, the +100000 copy must be 'dup' and the
+    original 'ok'; quality failures outrank 'dup' (first-fail) and
+    apply to BOTH copies; masked text ships only for 'ok' and never
+    contains a raw seeded address."""
+    from hetman_spark.entry_queries import q_corpus_release
+
+    rows = {r["doc_id"]: r for r in q_corpus_release(spark, sf_dir).collect()}
+    n = len(rows) // 2
+    assert len(rows) == 2 * n
+    for i in range(n):
+        lo, hi = rows[i], rows[i + 100000]
+        if lo["verdict"].startswith("quality:"):
+            assert hi["verdict"] == lo["verdict"]  # same text, same gate
+        else:
+            assert (lo["verdict"], hi["verdict"]) == ("ok", "dup")
+            assert lo["masked"] is not None and hi["masked"] is None
+            assert "@example.com" not in lo["masked"]
+            if i % 7 == 0:
+                assert lo["n_pii"] >= 1 and "<EMAIL>" in lo["masked"]
