@@ -430,6 +430,13 @@ def simhash_near_pairs(
         ).alias("ck"),
     ).select("id", "sim", F.col("ck.chunk").alias("chunk"), F.col("ck.cv").alias("cv"))
 
+    # Materialize the band table before it fans out into the cap
+    # aggregate and BOTH sides of the self-join — same rationale as
+    # minhash_lsh_candidates above: a DataFrame referenced k times
+    # re-executes its plan (the full per-token signature hash) k
+    # times.  Tiny: (k+1) rows/doc of four scalars, never the text.
+    banded = banded.localCheckpoint(eager=True)
+
     if max_bucket_size is not None:
         ok = (
             banded.groupBy("chunk", "cv")
