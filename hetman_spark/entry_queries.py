@@ -652,11 +652,18 @@ def q_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hetman_spark.functions.dedup import shingles
 
     d = _tp(spark, sf_dir, "documents")
+    # join on xxhash64(gram) instead of the gram string: the shingle
+    # text is a join key only (never output), so the broadcast index
+    # and the probe rows carry 8-byte longs instead of ~25-char
+    # strings (guide §2.3 'shuffle keys instead of payloads').
+    hashed = lambda c: F.transform(  # noqa: E731
+        shingles(c, 5), lambda s: F.xxhash64(s)
+    )
     sh_eval = d.where(F.col("doc_id") < 10).select(
-        F.col("doc_id").alias("eval_id"), F.explode(shingles(F.col("text"), 5)).alias("sh")
+        F.col("doc_id").alias("eval_id"), F.explode(hashed(F.col("text"))).alias("sh")
     )
     sh_corpus = d.where(F.col("doc_id") >= 10).select(
-        "doc_id", F.explode(shingles(F.col("text"), 5)).alias("sh")
+        "doc_id", F.explode(hashed(F.col("text"))).alias("sh")
     )
     return (
         sh_corpus.join(F.broadcast(sh_eval), "sh")
@@ -713,13 +720,20 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _tp(spark, sf_dir, "documents")
     words = F.split(F.lower(F.col("text")), r"\s+")
     k = F.size(words) - F.lit(2)
-    grams = F.transform(
-        F.sequence(F.lit(0), k - 1),
-        lambda i: F.concat_ws(" ", F.slice(words, i + 1, 3)),
-    )
-    grams = F.when(k > 0, grams).otherwise(F.array().cast("array<string>"))
-    total = F.size(grams).cast("long")
-    distinct = F.size(F.array_distinct(grams)).cast("long")
+    # total is pure arithmetic (gram count = max(n_words - 2, 0)) and
+    # the distinct count runs over 8-byte xxhash64 of each word slice —
+    # the gram strings never leave the row, so they are never BUILT:
+    # no concat_ws allocation per position, and array_distinct compares
+    # longs instead of strings.
+    total = F.greatest(k, F.lit(0)).cast("long")
+    gram_hashes = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.xxhash64(F.slice(words, i + 1, 3)),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    distinct = F.size(F.array_distinct(gram_hashes)).cast("long")
     return d.select(
         "doc_id",
         total.alias("n_grams"),
@@ -1142,10 +1156,17 @@ def q_span_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = F.split(F.lower(F.col("text")), r"\s+")
     words = F.filter(words, lambda w: w != "")
     n = F.size(words) - F.lit(k - 1)
+    # gram key = xxhash64 of the word-slice ARRAY: the hash is a
+    # grouping key only (never in the output), so the md5-hex-string
+    # form bought nothing — xxhash64 skips both the md5 digest and the
+    # concat_ws string build, and the shuffled key is 8 bytes instead
+    # of a 32-char string (guide §2.3 narrower types).  Grouping is
+    # exact: words are \s+-split (no spaces inside), so slice arrays
+    # are equal iff the md5'd join strings were.
     grams = F.when(n > 0, F.transform(
         F.sequence(F.lit(0), n - 1),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(words, i + 1, k))),
-    )).otherwise(F.array().cast("array<string>"))
+        lambda i: F.xxhash64(F.slice(words, i + 1, k)),
+    )).otherwise(F.array().cast("array<bigint>"))
     # Plan shape, A/B-measured under the bench's noop-sink action
     # (count() prunes differently and misleads here):
     # - n_positions is pure arithmetic on the words array
@@ -1261,10 +1282,13 @@ def q_span_dedup_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != ""
     )
     n = F.size(words) - F.lit(k - 1)
+    # xxhash64 over the slice array replaces md5(concat_ws): grouping
+    # key only (never output), 8-byte shuffle key instead of a 32-char
+    # string, no digest/string-build per position — see span_dup_stats.
     grams = F.when(n > 0, F.transform(
         F.sequence(F.lit(0), n - 1),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(words, i + 1, k))),
-    )).otherwise(F.array().cast("array<string>"))
+        lambda i: F.xxhash64(F.slice(words, i + 1, k)),
+    )).otherwise(F.array().cast("array<bigint>"))
     occ = (
         d.select("doc_id", F.posexplode(grams).alias("p0", "g"))
         .select(
@@ -3018,52 +3042,50 @@ _WN_K, _WN_W = 3, 4  # gram size, window size
 
 
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing over word 3-grams, window 4.  Formulated shuffle-first
-    rather than array-sliding: each gram row fans out to the <= w
-    windows containing it (explode), one partial-aggregated
-    groupBy(doc, window) picks min(hash, ties rightmost), and a
-    distinct collapses adjacent windows that chose the same gram.
-    This evaluates md5 ONCE per gram (an array-of-slices formulation
-    re-hashes every gram w times — the r5 LSH plan-CSE lesson) and
-    every stage is a keyed shuffle of (doc, pos, hash) tuples; text
-    never moves.  Rows out: (doc_id, pos, fp) — the sketch a
-    partial-overlap index stores."""
+    """Winnowing over word 3-grams, window 4, as a PURE per-row array
+    computation — zero shuffles: window selection and the dedup of
+    adjacent windows that chose the same gram are both local to one
+    document, so the old explode-to-(doc, win)-rows -> groupBy ->
+    distinct plan paid two corpus-token-scale shuffles for work the
+    row can do itself (guide §2.4 remove shuffles outright).  The
+    (h, -pos) struct array is built ONCE per row (single reference, so
+    each gram is md5-hashed exactly once — the r5 plan-CSE lesson
+    respected, now without the fan-out), each sliding window takes
+    array_min over a slice (min h, ties rightmost), and array_distinct
+    replaces the pair-selection dedup.  Rows out: (doc_id, pos, fp) —
+    identical selection to the shuffle-first form (pytest-pinned
+    equivalence; driver value-hash unchanged)."""
     d = _tp(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
     n_grams = F.size(words) - _WN_K + 1
-    grams = d.select(
-        "doc_id",
-        F.posexplode(
+    gram_structs = F.transform(
+        F.sequence(F.lit(0), n_grams - 1),
+        _gram_struct_md5_factory(words, _WN_K),
+    )
+    # TWO projections, deliberately: the window-selection lambda below
+    # must reference the hashed-gram array as a COLUMN, not capture the
+    # md5-building expression — a captured expression is re-evaluated
+    # on every lambda invocation (HOFs are interpreted, no
+    # loop-invariant hoisting: measured 63 s vs 4.8 s at sf1.0).  The
+    # second reference (size(gs) in the n_win guard) is what keeps
+    # CollapseProject from inlining the non-cheap array back into the
+    # lambda (used-more-than-once rule).
+    step = d.select("doc_id", gram_structs.alias("gs"))
+    n_win = F.size(F.col("gs")) - _WN_W + 1
+    picks = F.when(
+        n_win > 0,
+        F.array_distinct(
             F.transform(
-                F.sequence(F.lit(0), n_grams - 1),
-                _gram_md5_factory(words, _WN_K),
+                F.sequence(F.lit(0), n_win - 1),
+                _window_min_factory(F.col("gs"), _WN_W),
             )
-        ).alias("pos", "h"),
-        n_grams.cast("long").alias("n_grams"),
-    )
-    # windows containing gram at pos: i in [max(0, pos-w+1), min(pos, n_win-1)]
-    win = grams.select(
+        ),
+    ).otherwise(F.array().cast("array<struct<h:string,np:bigint>>"))
+    return step.select("doc_id", F.explode(picks).alias("s")).select(
         "doc_id",
-        "pos",
-        "h",
-        F.explode(
-            F.sequence(
-                F.greatest(F.lit(0), F.col("pos") - _WN_W + 1),
-                F.least(F.col("pos"), F.col("n_grams") - _WN_W),
-            )
-        ).alias("win"),
-    ).where(F.col("win") >= 0)
-    sel = (
-        win.groupBy("doc_id", "win")
-        .agg(F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))).alias("s"))
-        .select(
-            "doc_id",
-            (-F.col("s.np")).cast("long").alias("pos"),
-            F.col("s.h").alias("fp"),
-        )
-        .distinct()
+        (-F.col("s.np")).cast("long").alias("pos"),
+        F.col("s.h").alias("fp"),
     )
-    return sel
 
 
 def _gram_md5_factory(words, k: int):
@@ -3073,6 +3095,28 @@ def _gram_md5_factory(words, k: int):
         return F.md5(F.concat_ws(" ", F.slice(words, i + 1, k)))
 
     return g
+
+
+def _gram_struct_md5_factory(words, k: int):
+    """(index) -> struct<h: md5 of gram at index, np: -index> — the
+    (hash, negated position) sort key whose lexicographic MIN is
+    'smallest hash, ties rightmost' (closure factory per CLAUDE.md)."""
+    def g(i):
+        return F.struct(
+            F.md5(F.concat_ws(" ", F.slice(words, i + 1, k))).alias("h"),
+            (-i).cast("bigint").alias("np"),
+        )
+
+    return g
+
+
+def _window_min_factory(gram_structs, w: int):
+    """(window index) -> array_min over the w-slice of the gram-struct
+    array: the winnowing selection for one sliding window."""
+    def sel(i):
+        return F.array_min(F.slice(gram_structs, i + 1, w))
+
+    return sel
 
 
 SQL_WINNOW_FINGERPRINTS = f"""

@@ -1313,3 +1313,75 @@ def test_corpus_release_verdict_order_and_masking(spark, sf_dir):
             assert "@example.com" not in lo["masked"]
             if i % 7 == 0:
                 assert lo["n_pii"] >= 1 and "<EMAIL>" in lo["masked"]
+
+
+def test_winnow_array_form_matches_shuffle_first(spark, sf_dir):
+    """r6 optimization equivalence pin: the zero-shuffle per-row array
+    formulation of q_winnow_fingerprints selects the IDENTICAL
+    (doc_id, pos, fp) set as the original explode -> groupBy(doc, win)
+    -> distinct formulation (re-implemented here as the reference)."""
+    from pyspark.sql import functions as F
+
+    from hetman_spark.entry_queries import (
+        _WN_K,
+        _WN_W,
+        _gram_md5_factory,
+        _tp,
+        q_winnow_fingerprints,
+    )
+
+    new = sorted(map(tuple, q_winnow_fingerprints(spark, sf_dir).collect()))
+
+    d = _tp(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_grams = F.size(words) - _WN_K + 1
+    grams = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_grams - 1),
+                _gram_md5_factory(words, _WN_K),
+            )
+        ).alias("pos", "h"),
+        n_grams.cast("long").alias("n_grams"),
+    )
+    win = grams.select(
+        "doc_id", "pos", "h",
+        F.explode(
+            F.sequence(
+                F.greatest(F.lit(0), F.col("pos") - _WN_W + 1),
+                F.least(F.col("pos"), F.col("n_grams") - _WN_W),
+            )
+        ).alias("win"),
+    ).where(F.col("win") >= 0)
+    ref = sorted(map(tuple, (
+        win.groupBy("doc_id", "win")
+        .agg(F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))).alias("s"))
+        .select(
+            "doc_id",
+            (-F.col("s.np")).cast("long").alias("pos"),
+            F.col("s.h").alias("fp"),
+        )
+        .distinct()
+    ).collect()))
+    assert new == ref and len(new) > 0
+
+
+def test_embedding_neardup_verified_joins_ids_only(spark, sf_dir):
+    """r5 VERDICT What's-wrong #1 regression pin: the bucket self-join
+    of q_embedding_neardup_verified must carry NO vector column — the
+    quantized vectors may only enter the plan via the per-side joins
+    AFTER pair dedup.  Checked on the physical plan: every exchange
+    that partitions by `bucket` ships only id/bucket columns."""
+    import io
+    from contextlib import redirect_stdout
+
+    from hetman_spark.entry_queries import q_embedding_neardup_verified
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        q_embedding_neardup_verified(spark, sf_dir).explain("formatted")
+    plan = buf.getvalue()
+    for block in plan.split("\n\n"):
+        if "Exchange hashpartitioning(bucket" in block:
+            assert "vq" not in block, block
