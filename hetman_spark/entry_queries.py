@@ -1398,6 +1398,12 @@ def q_unigram_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("tok") != "")
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     bucket = (F.length(F.bin(F.col("cnt"))) - 1).cast("long")
+    # Two aggregates on purpose (r6 A/B): folding distinct_tokens into
+    # the first groupBy as count_distinct plans an Expand that doubles
+    # the shuffled rows AND drags the token strings through the main
+    # aggregate (measured 3.2 s -> 4.5 s at sf1.0); the split form
+    # shuffles narrow (doc_id, bucket) longs for the sums and lets the
+    # distinct branch partial-dedup map-side.
     scored = toks.join(vocab, "tok").select("doc_id", bucket.alias("b"))
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),

@@ -1187,15 +1187,23 @@ def semdedup(
                      "id_b": pd.array([], dtype="int64")}
                 )
             ids = pdf["vec_id"].to_numpy()
-            m = np.vstack(pdf["qv"].to_numpy()).astype(np.int64)
+            # float64 matmul, NOT int64: NumPy has no BLAS path for
+            # integer dtypes, so an int64 gram matrix runs a slow
+            # generic loop (measured ~3x the whole-stage wall at
+            # sf1.0).  The float64 product is EXACT here: |q| <= scale
+            # per component, so every product <= scale^2 = 1e6 and
+            # every 64-term dot <= dim*scale^2 = 6.4e7 — all integers
+            # < 2^53, representable without rounding.  Only the
+            # threshold comparison needs the wider headroom (d^2 *
+            # tau_den ~ 1e17 > 2^53), so d and n2 are converted BACK
+            # to int64 (exact, values < 2^53) before the int64
+            # comparison the ANSI-checked expression twin also runs —
+            # the fast-vs-slow pytest pins the pair sets equal.
+            m = np.vstack(pdf["qv"].to_numpy()).astype(np.float64)
             g = m @ m.T
-            n2 = np.einsum("ij,ij->i", m, m)
+            n2 = np.einsum("ij,ij->i", m, m).astype(np.int64)
             iu, ju = np.triu_indices(len(ids), k=1)
-            d = g[iu, ju]
-            # int64 headroom: |q| <= scale (unit-ish floats), so
-            # d^2*tau_den <= (dim*scale^2)^2*tau_den ~ 1e17 < 2^63;
-            # the expression twin below runs the same math under
-            # ANSI overflow checks and is pytest-pinned equal
+            d = g[iu, ju].astype(np.int64)
             ok = (d > 0) & (d * d * tau_den >= tau_num * n2[iu] * n2[ju])
             ia, ib = ids[iu[ok]], ids[ju[ok]]
             return pd.DataFrame(
