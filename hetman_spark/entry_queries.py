@@ -402,7 +402,11 @@ def q_events_user_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge-order dependent, unusable under a cross-engine value-hash
     oracle; at 100 TB the exact form is still one partial-aggregated
     shuffle of (hour, user_id) pairs."""
-    e = _tp(spark, sf_dir, "events")
+    # plain scan on purpose (r6 A/B): the count_distinct aggregate
+    # shuffles (hour, user_id) pairs anyway; a pre-repartition of the
+    # raw events added a shuffle without speeding the distinct
+    # (measured 1.9 -> 2.2 s at sf1.0).
+    e = _t(spark, sf_dir, "events")
     return (
         e.groupBy(
             F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH").alias("hour")
@@ -1391,7 +1395,10 @@ def q_unigram_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
     need a single-partition window over the whole vocabulary; the
     log2-bucket score is sort-free by construction).  At 100 TB the
     vocab table is computed once and broadcast/bucketed."""
-    d = _tp(spark, sf_dir, "documents")
+    # plain scan on purpose (r6 A/B): this query's cost is the
+    # (tok, doc_id)-keyed shuffles, not the scan-stage explode; the
+    # repartition variant measured ~8-12% slower (2.8 -> 3.1-3.2 s).
+    d = _t(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
         F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"),
@@ -3175,7 +3182,11 @@ def q_unicode_nfc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs reach the aggregate shuffle."""
     from hetman_spark.functions.text import nfc_normalize_udf
 
-    d = _tp(spark, sf_dir, "documents")
+    # plain scan on purpose (r6 A/B): the NFC pandas-UDF stage has tiny
+    # per-task work here (100k short strings), and the repartitioned
+    # form was slower and far noisier in single-rep runs (driver
+    # protocol) than the single-task scan — 1.8 s stable vs 2-6 s.
+    d = _t(spark, sf_dir, "documents")
     pre = F.replace(F.col("text"), F.lit("a"), F.lit("\u00e1"))
     dec = F.replace(F.col("text"), F.lit("a"), F.lit("a\u0301"))
     variants = d.select(
