@@ -1195,7 +1195,16 @@ def q_span_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.greatest(n, F.lit(0)).cast("long").alias("n_positions")
     )
     pos = d.select("doc_id", F.explode(grams).alias("g"))
-    gram_doc = pos.groupBy("g", "doc_id").agg(F.count(F.lit(1)).alias("c"))
+    # Materialize the (g, doc_id, c) aggregate: both the dup-gram
+    # HAVING filter and the per-doc rejoin consume it, and without the
+    # checkpoint the gram pass re-executed for each consumer (measured
+    # r6: 5.2 s vs 4.2 s warm).  This reverses the r5 rejection of
+    # materialization — that verdict was for 32-char md5-string keys;
+    # with 8-byte xxhash64 keys the table is ~3x smaller and the
+    # checkpoint is cheaper than the recompute.
+    gram_doc = pos.groupBy("g", "doc_id").agg(
+        F.count(F.lit(1)).alias("c")
+    ).localCheckpoint(eager=True)
     dup_grams = (
         gram_doc.groupBy("g")
         .agg(F.count(F.lit(1)).alias("nd"))
@@ -1293,13 +1302,19 @@ def q_span_dedup_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), n - 1),
         lambda i: F.xxhash64(F.slice(words, i + 1, k)),
     )).otherwise(F.array().cast("array<bigint>"))
+    # Materialize the occurrence table: the dup aggregate AND the
+    # removed-span join both consume it, and each DataFrame reference
+    # re-executes the gram-hash explode (measured r6: 7.1 s vs 3.9 s
+    # warm with the checkpoint).  Affordable now that the key is an
+    # 8-byte xxhash64 instead of a 32-char md5 string (the r5
+    # rejection of exactly this materialization predates that swap).
     occ = (
         d.select("doc_id", F.posexplode(grams).alias("p0", "g"))
         .select(
             "doc_id", "g",
             (F.col("p0") + 1).cast("long").alias("pos"),
         )
-    )
+    ).localCheckpoint(eager=True)
     packed = F.col("doc_id") * F.lit(1_000_000) + F.col("pos")
     dup = (
         occ.groupBy("g")
@@ -1681,7 +1696,14 @@ def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"),
     ).where(F.col("tok") != "")
-    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    # Materialize the (doc_id, tok, tf) table: the df-count aggregate
+    # AND the scoring join both consume it, and each reference
+    # re-executed the tokenizer explode + first aggregate (measured
+    # r6: 5.2 s vs 1.9 s warm at sf1.0 with the checkpoint — guide
+    # §2.4; production persists exactly this term-frequency table).
+    tf = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).localCheckpoint(eager=True)
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df_cnt"))
     nd = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (

@@ -527,8 +527,17 @@ def connected_components(
     edges = (
         pairs.select(a, b).union(pairs.select(b.alias("v"), a.alias("u")))
     ).localCheckpoint(eager=True)
+    # Seed labels with min(v, min neighbor) — exactly what round 1's
+    # propagate step would compute from the identity labeling, but as
+    # ONE partial-aggregated groupBy over the edge list instead of a
+    # full round (join + join + checkpoint + fingerprint collect).
+    # Every node appears as `v` in the symmetric edge list, so the
+    # seeded table covers the same node set; labels only ever decrease
+    # from here, so the fixpoint (and the returned clustering) is
+    # identical — r6 measured one fewer round on every CC entry.
     labels = (
-        edges.select("v").distinct().select("v", F.col("v").alias("label"))
+        edges.groupBy("v").agg(F.min("u").alias("m"))
+        .select("v", F.least(F.col("v"), F.col("m")).alias("label"))
     ).localCheckpoint(eager=True)
 
     def fp(lbl: DataFrame):
